@@ -1,0 +1,70 @@
+"""SA-GAN style self-attention with 4x-downsampled keys/values.
+
+Parity: reference tartangan/models/blocks/attention.py:6-35 (BigGAN-style):
+theta/phi/g are 1x1 convs to C/8, C/8, C/2; phi and g are 2x2 max-pooled
+(HW/4 KV length); beta = softmax(theta^T phi); out = gamma * o(beta @ g) + x
+with a learnable scalar gamma initialized to 0.
+
+TPU design: the 1x1 convs are plain matmuls over the channel axis, and the
+attention itself is two (B, HW, C') batched matmuls — all MXU work. A fused
+Pallas kernel (ops/pallas/attention.py) handles the softmax(QK^T)V chain in
+VMEM for large HW when running on TPU; the jnp path below is the reference
+semantics and the fallback on CPU.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.resize import max_pool_2x
+from .layers import Conv
+
+Dtype = Any
+
+
+class SelfAttention2d(nn.Module):
+    in_dims: int
+    dtype: Dtype = jnp.float32
+    use_pallas: bool = True  # fused kernel on TPU when profitable
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        del train
+        b, h, w, c = x.shape
+        ck = max(self.in_dims // 8, 1)
+        cv = max(self.in_dims // 2, 1)
+        theta = Conv(ck, 1, in_features=c, use_bias=False,
+                     dtype=self.dtype, name="theta")(x)
+        phi = max_pool_2x(Conv(ck, 1, in_features=c, use_bias=False,
+                               dtype=self.dtype, name="phi")(x))
+        g = max_pool_2x(Conv(cv, 1, in_features=c, use_bias=False,
+                             dtype=self.dtype, name="g")(x))
+
+        q = theta.reshape(b, h * w, ck)
+        k = phi.reshape(b, (h * w) // 4, ck)
+        v = g.reshape(b, (h * w) // 4, cv)
+
+        o = _attention(q, k, v, self.use_pallas)
+        o = o.reshape(b, h, w, cv)
+        o = Conv(self.in_dims, 1, in_features=cv, use_bias=False,
+                 dtype=self.dtype, name="o")(o)
+        gamma = self.param("gamma", nn.initializers.zeros, ())
+        return gamma.astype(x.dtype) * o + x
+
+
+def _attention(q, k, v, use_pallas: bool):
+    """softmax(q k^T) v — un-scaled, matching the reference exactly."""
+    if use_pallas:
+        try:
+            from ..ops.pallas.attention import fused_attention  # noqa: PLC0415
+            return fused_attention(q, k, v)
+        except Exception:  # pragma: no cover - non-TPU backends
+            pass
+    logits = jnp.einsum(
+        "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32
+    )
+    beta = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bqk,bkc->bqc", beta, v)

@@ -1,0 +1,195 @@
+""""Pluggan": factory-composed GAN models.
+
+Parity: reference tartangan/models/pluggan.py:31-196. The reference composes
+``nn.Sequential`` stacks from injected ``input_factory``/``block_factory``/
+``output_factory`` callables; here the same factories build a list of flax
+submodules, and ``__call__`` folds the input through them (all static Python
+control flow — XLA sees one flat graph).
+
+A factory is ``f(in_dims, out_dims, *, first_block=..., upsample=..., dtype=...)
+-> nn.Module``. ``tartangan_tpu.models.factories`` builds them from CLI names.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..configs import GANConfig
+from .attention import SelfAttention2d
+from .blocks import (
+    DiscriminatorBlock,
+    DiscriminatorInput,
+    DiscriminatorOutput,
+    GeneratorBlock,
+    GeneratorOutput,
+    TiledZGeneratorInput,
+)
+
+Dtype = Any
+
+
+def _default_g_input(latent_dims, output_dims, size, dtype):
+    return TiledZGeneratorInput(latent_dims, output_dims, size, dtype=dtype)
+
+
+def _default_g_block(in_dims, out_dims, *, first_block=False, upsample=True,
+                     dtype=jnp.float32):
+    return GeneratorBlock(in_dims, out_dims, upsample=upsample,
+                          first_block=first_block, dtype=dtype)
+
+
+def _default_g_output(in_dims, out_dims, dtype):
+    return GeneratorOutput(in_dims, out_dims, dtype=dtype)
+
+
+def _default_d_input(in_dims, out_dims, dtype):
+    return DiscriminatorInput(in_dims, out_dims, dtype=dtype)
+
+
+def _default_d_block(in_dims, out_dims, *, first_block=False, dtype=jnp.float32):
+    return DiscriminatorBlock(in_dims, out_dims, first_block=first_block,
+                              dtype=dtype)
+
+
+def _default_d_output(in_dims, out_dims, dtype):
+    return DiscriminatorOutput(in_dims, out_dims, dtype=dtype)
+
+
+class Generator(nn.Module):
+    """Upsampling stack: input -> per-scale blocks (+SA) -> output
+    (pluggan.py:58-85)."""
+
+    config: GANConfig
+    input_factory: Optional[Callable] = None
+    block_factory: Optional[Callable] = None
+    output_factory: Optional[Callable] = None
+    dtype: Dtype = jnp.float32
+
+    @property
+    def max_size(self) -> int:
+        return self.config.max_size
+
+    def setup(self):
+        cfg = self.config
+        input_factory = self.input_factory or _default_g_input
+        block_factory = self.block_factory or _default_g_block
+        output_factory = self.output_factory or _default_g_output
+
+        self.input_block = input_factory(
+            cfg.latent_dims, cfg.blocks[0], cfg.base_size, self.dtype
+        )
+        blocks = []
+        in_dims = cfg.blocks[0]
+        first_block = True
+        for block_i, out_dims in enumerate(cfg.blocks):
+            blocks.append(block_factory(
+                in_dims, out_dims, first_block=first_block, upsample=True,
+                dtype=self.dtype,
+            ))
+            first_block = False
+            for _ in range(cfg.num_blocks_per_scale - 1):
+                blocks.append(block_factory(
+                    out_dims, out_dims, first_block=False, upsample=False,
+                    dtype=self.dtype,
+                ))
+            if cfg.attention and block_i in cfg.attention:
+                blocks.append(SelfAttention2d(out_dims, dtype=self.dtype))
+            in_dims = out_dims
+        self.blocks = blocks
+        self.output_block = output_factory(in_dims, cfg.data_dims, self.dtype)
+
+    def __call__(self, z, train: bool = True):
+        x = self.input_block(z, train)
+        for block in self.blocks:
+            x = block(x, train)
+        return self.output_block(x, train)
+
+
+class Discriminator(nn.Module):
+    """Downsampling mirror of the generator (pluggan.py:88-111)."""
+
+    config: GANConfig
+    input_factory: Optional[Callable] = None
+    block_factory: Optional[Callable] = None
+    output_factory: Optional[Callable] = None
+    dtype: Dtype = jnp.float32
+
+    @property
+    def max_size(self) -> int:
+        return self.config.max_size
+
+    def setup(self):
+        cfg = self.config
+        input_factory = self.input_factory or _default_d_input
+        block_factory = self.block_factory or _default_d_block
+        output_factory = self.output_factory or _default_d_output
+
+        first_block_input_dims = cfg.blocks[-1]
+        self.input_block = input_factory(
+            cfg.data_dims, first_block_input_dims, self.dtype
+        )
+        blocks = []
+        in_dims = first_block_input_dims
+        first_block = True
+        for block_i, out_dims in reversed(list(enumerate(cfg.blocks))):
+            blocks.append(block_factory(
+                in_dims, out_dims, first_block=first_block, dtype=self.dtype,
+            ))
+            if cfg.attention and block_i in cfg.attention:
+                blocks.append(SelfAttention2d(out_dims, dtype=self.dtype))
+            in_dims = out_dims
+            first_block = False
+        self.blocks = blocks
+        self.output_block = output_factory(in_dims, 1, self.dtype)
+
+    def __call__(self, x, train: bool = True):
+        x = self.input_block(x, train)
+        for block in self.blocks:
+            x = block(x, train)
+        return self.output_block(x, train)
+
+
+class IQNDiscriminator(nn.Module):
+    """Discriminator whose output head is an IQN quantile head; loss is
+    computed in-graph when ``targets`` is given (pluggan.py:114-132).
+
+    Note: mirrors the reference in having *no* input 1x1 conv and no
+    first_block special-casing (pluggan.py:117-127).
+    """
+
+    config: GANConfig
+    input_factory: Optional[Callable] = None   # unused; parity with reference
+    block_factory: Optional[Callable] = None
+    output_factory: Optional[Callable] = None
+    dtype: Dtype = jnp.float32
+
+    @property
+    def max_size(self) -> int:
+        return self.config.max_size
+
+    def setup(self):
+        cfg = self.config
+        block_factory = self.block_factory or _default_d_block
+        output_factory = self.output_factory
+        if output_factory is None:
+            raise ValueError("IQNDiscriminator requires an IQN output factory")
+
+        blocks = []
+        in_dims = cfg.data_dims
+        for block_i, out_dims in reversed(list(enumerate(cfg.blocks))):
+            blocks.append(block_factory(
+                in_dims, out_dims, first_block=False, dtype=self.dtype,
+            ))
+            if cfg.attention and block_i in cfg.attention:
+                blocks.append(SelfAttention2d(out_dims, dtype=self.dtype))
+            in_dims = out_dims
+        self.blocks = blocks
+        self.output_block = output_factory(in_dims, 1, self.dtype)
+
+    def __call__(self, x, train: bool = True, targets=None, rng=None):
+        x = x.astype(self.dtype)
+        for block in self.blocks:
+            x = block(x, train)
+        return self.output_block(x, train=train, targets=targets, rng=rng)

@@ -1,0 +1,97 @@
+"""Fused SA-GAN attention kernel (Pallas/TPU).
+
+Computes ``softmax(q @ k^T) @ v`` per batch element with the logits kept in
+VMEM — one HBM round-trip for q/k/v/out instead of materializing the
+(HW x HW/4) attention map in HBM. Semantics match
+``models/attention.py::_attention`` (un-scaled logits, row softmax), i.e.
+reference attention.py:32-34.
+
+Shapes are tiny by LLM standards (HW <= 4096, KV = HW/4, C' <= 512) so a
+single-block-per-batch kernel is sufficient; the win is fusion, not tiling.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Above this many logits elements per batch we'd rather let XLA tile it.
+_MAX_LOGITS_ELEMS = 8 * 1024 * 1024
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    logits = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o_ref[0] = jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    ).astype(o_ref.dtype)
+
+
+@jax.custom_vjp
+def fused_attention(q, k, v):
+    """q: (B, Lq, Ck), k: (B, Lk, Ck), v: (B, Lk, Cv) -> (B, Lq, Cv)."""
+    return _fused_attention_fwd_impl(q, k, v)
+
+
+def _softmax_qkT(q, k):
+    logits = jnp.einsum("bqc,bkc->bqk", q, k,
+                        preferred_element_type=jnp.float32)
+    return jax.nn.softmax(logits, axis=-1)
+
+
+def _fused_attention_fwd(q, k, v):
+    return _fused_attention_fwd_impl(q, k, v), (q, k, v)
+
+
+def _fused_attention_bwd(res, do):
+    """Recompute-based backward (flash-attention style) in plain XLA ops."""
+    q, k, v = res
+    p = _softmax_qkT(q, k)                                  # (B, Lq, Lk) f32
+    do32 = do.astype(jnp.float32)
+    dv = jnp.einsum("bqk,bqc->bkc", p, do32).astype(v.dtype)
+    dp = jnp.einsum("bqc,bkc->bqk", do32, v.astype(jnp.float32))
+    dlogits = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bqk,bkc->bqc", dlogits,
+                    k.astype(jnp.float32)).astype(q.dtype)
+    dk = jnp.einsum("bqk,bqc->bkc", dlogits,
+                    q.astype(jnp.float32)).astype(k.dtype)
+    return dq, dk, dv
+
+
+fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+
+
+def _fused_attention_fwd_impl(q, k, v):
+    if jax.default_backend() != "tpu":
+        raise NotImplementedError("pallas fused attention is TPU-only")
+    b, lq, ck = q.shape
+    _, lk, cv = v.shape
+    if lq * lk > _MAX_LOGITS_ELEMS:
+        raise NotImplementedError("attention map too large for fused kernel")
+
+    grid = (b,)
+    return pl.pallas_call(
+        _attn_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, lq, ck), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, ck), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, cv), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, lq, cv), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lq, cv), q.dtype),
+    )(q, k, v)
