@@ -1,0 +1,84 @@
+"""Inception wrapper + activation accumulation for FID/IS.
+
+Parity: reference inception_utils.py:35-92 (WrapInception: renormalize
+[-1,1] images to VGG stats, bilinear-resize to 299 with align_corners=True,
+run the net, return pool2048 + logits) and :249-268 (accumulation loop).
+
+TPU design: the normalize+resize+forward is one jitted function; moment
+accumulation is streaming (sum / outer-product sums on device, sharded over
+the data mesh when present) instead of materializing a (N, 2048) matrix on
+host — ``mu``/``sigma`` then come from (sum_x, sum_xxT, n) with a final psum
+under data parallelism (SURVEY.md section 5 'Distributed' row).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.inception import init_inception, try_load_pretrained
+from ..ops.resize import resize_bilinear
+
+VGG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
+VGG_STD = np.array([0.229, 0.224, 0.225], np.float32)
+
+
+class InceptionWrapper:
+    """Callable (B,H,W,3) in [-1,1] -> (pool (B,2048) f32, softmax logits)."""
+
+    def __init__(self, dtype=jnp.float32, pretrained: bool = True):
+        self.model, variables = init_inception(dtype=dtype)
+        if pretrained:
+            variables, self.pretrained = try_load_pretrained(variables)
+        else:
+            self.pretrained = False
+        self.variables = variables
+
+        @jax.jit
+        def forward(variables, images):
+            x = (images.astype(jnp.float32) + 1.0) / 2.0
+            x = (x - VGG_MEAN) / VGG_STD
+            if x.shape[1] != 299 or x.shape[2] != 299:
+                x = resize_bilinear(x, 299, 299, align_corners=True)
+            pool, logits = self.model.apply(variables, x)
+            return pool, jax.nn.softmax(logits, axis=-1)
+
+        self._forward = forward
+
+    def __call__(self, images):
+        return self._forward(self.variables, images)
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _accumulate_moments(sum_x, sum_xxt, pool):
+    pool = pool.astype(jnp.float32)
+    return sum_x + jnp.sum(pool, axis=0), sum_xxt + pool.T @ pool
+
+
+def accumulate_activations(sample_fn, net: InceptionWrapper,
+                           num_images: int):
+    """Loop ``sample_fn()`` batches through the net until ``num_images``
+    activations are gathered (reference inception_utils.py:249-268).
+
+    Returns (softmax_logits ndarray (N,1000), mu (2048,), sigma (2048,2048))
+    with moments computed via streaming sums on device.
+    """
+    logits_chunks = []
+    n = 0
+    sum_x = jnp.zeros((2048,), jnp.float32)
+    sum_xxt = jnp.zeros((2048, 2048), jnp.float32)
+    while n < num_images:
+        images = sample_fn()
+        pool, probs = net(images)
+        sum_x, sum_xxt = _accumulate_moments(sum_x, sum_xxt, pool)
+        logits_chunks.append(np.asarray(probs))
+        n += images.shape[0]
+
+    sum_x = np.asarray(sum_x, np.float64)
+    sum_xxt = np.asarray(sum_xxt, np.float64)
+    mu = sum_x / n
+    # unbiased covariance, matching np.cov / torch_cov (fact = 1/(n-1))
+    sigma = (sum_xxt - n * np.outer(mu, mu)) / max(n - 1, 1)
+    return np.concatenate(logits_chunks, axis=0)[:], mu, sigma

@@ -1,0 +1,51 @@
+"""FID/IS trainer component.
+
+Parity: reference components/metrics/fid.py:10-55 — prepare the metrics
+closure at train begin, run every ``--fid-freq`` steps on
+``--n-inception-imgs`` generator samples, append to logs.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ....utils.cli import type_or_none
+from .base import FileBasedMetricsComponent
+
+
+class FIDComponent(FileBasedMetricsComponent):
+    """Calculate Frechet Inception Distance + Inception Score."""
+
+    def on_train_begin(self, steps, logs):
+        from ....eval.fid import prepare_inception_metrics
+        print("Preparing inception metrics...")
+        self.get_inception_metrics = prepare_inception_metrics(
+            self.trainer.args.inception_moments)
+
+    def on_batch_end(self, steps, logs):
+        if steps and steps % self.trainer.args.fid_freq == 0:
+            print("Calculating inception metrics...")
+            is_mean, is_std, fid = self._calculate()
+            logs["fid"].append(fid)
+            logs["inception_score_mean"].append(is_mean)
+            logs["inception_score_std"].append(is_std)
+
+    def _calculate(self):
+        trainer = self.trainer
+
+        def sample_fn():
+            return np.asarray(trainer.sample_g(), np.float32)
+
+        is_mean, is_std, fid = self.get_inception_metrics(
+            sample_fn, self.trainer.args.n_inception_imgs, num_splits=5)
+        print("Inception Score is %3.3f +/- %3.3f" % (is_mean, is_std))
+        print("FID is %5.4f" % (fid,))
+        return is_mean, is_std, fid
+
+    @classmethod
+    def add_args_to_parser(cls, parser):
+        parser.add_argument("--inception-moments", type=type_or_none(str),
+                            default=None,
+                            help="Path to pre-calculated inception moments")
+        parser.add_argument("--n-inception-imgs", default=1000, type=int)
+        parser.add_argument("--fid-freq", default=10000, type=int,
+                            help="Calculate test metrics every N batches")

@@ -1,0 +1,340 @@
+"""Trainer core: host-side orchestration around a single jitted train step.
+
+Parity: reference tartangan/trainers/trainer.py (epoch/step loop, two-pass
+CLI assembly, run-id, logs dict, component dispatch, dataset selection).
+
+TPU-first structure the reference lacks (SURVEY.md section 7): everything
+device-heavy — D step, R1, G step, EMA, losses — is one compiled
+``train_step(state, batch_u8, rng)``; the host loop only shuffles indices,
+random-crops uint8, prefetches batches to HBM, and fans out component hooks.
+Batches arrive as uint8 and are normalized on device. Scale-out is a 1-D
+data mesh: params replicated, batch sharded, XLA inserting the gradient
+all-reduces (the reference is strictly single-device, SURVEY.md section 2.11).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import random
+import string
+import time
+from collections import defaultdict
+from datetime import datetime
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..configs import GAN_CONFIGS
+from ..data.image_bytes import ImageBytesDataset
+from ..data.image_folder import ImageFolderDataset
+from ..data.prefetch import EpochBatcher, prefetch_to_device
+from ..parallel.mesh import (
+    data_sharding,
+    make_mesh,
+    replicated_sharding,
+)
+from ..utils.cli import save_cli_arguments, type_or_none
+from ..utils.fs import maybe_makedirs
+
+
+def resolve_dtype(name: str):
+    """``--dtype`` flag -> compute dtype. 'auto' = bf16 on TPU, f32 elsewhere."""
+    if name == "auto":
+        return jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    return {"bf16": jnp.bfloat16, "f32": jnp.float32}[name]
+
+
+class Trainer:
+    """Base trainer. Subclasses implement ``build_models`` (constructing the
+    flax modules, the optimizers, the initial state pytree, and the jitted
+    ``self._train_step``)."""
+
+    def __init__(self, args, components):
+        self.args = args
+
+        if args.run_id is None:
+            self.run_id = self._generate_run_id()
+        else:
+            self.run_id = args.run_id
+
+        maybe_makedirs(self.output_root, exist_ok=True)
+        self._save_cli_arguments()
+
+        from .components.container import ComponentContainer
+        self.components = ComponentContainer()
+        self.components.trainer = self
+        self.components.add_components(*components)
+
+        self.steps = 0
+        self.epoch = 1
+
+        # device topology
+        self.mesh = make_mesh(args.num_devices)
+        self.dtype = resolve_dtype(args.dtype)
+        self._batch_sharding = data_sharding(self.mesh)
+        self._replicated = replicated_sharding(self.mesh)
+
+        # rngs: jax key for device-side sampling, numpy for host-side shuffles
+        self.root_key = jax.random.PRNGKey(args.seed)
+        self._key = self.root_key
+        self.np_rng = np.random.default_rng(args.seed)
+
+    # ------------------------------------------------------------- rng utils
+    def next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    # ----------------------------------------------------------------- hooks
+    def build_models(self):
+        raise NotImplementedError
+
+    def prepare_dataset(self):
+        """Directory -> lazy-resize folder dataset; file -> pre-resized
+        archive with train-time RandomCrop (reference trainer.py:53-78)."""
+        img_size = self.g.max_size
+        if os.path.isdir(self.args.data_path):
+            dataset = ImageFolderDataset(self.args.data_path, img_size)
+            if self.args.dataset_cache:
+                dataset.load_cache(self.dataset_cache_path(img_size))
+        else:
+            dataset = ImageBytesDataset.from_path(
+                self.args.data_path, crop_size=img_size
+            )
+        return dataset
+
+    def dataset_cache_path(self, size):
+        import hashlib
+        root_hash = hashlib.md5(self.dataset.root.encode("utf-8")).hexdigest()
+        return self.args.dataset_cache.format(root=root_hash, size=size)
+
+    # ------------------------------------------------------------ train loop
+    def train(self):
+        self.build_models()
+        print(f"Preparing dataset from {self.args.data_path}")
+        self.dataset = self.prepare_dataset()
+        batcher = EpochBatcher(
+            self.dataset, self.args.batch_size, seed=self.args.seed
+        )
+        logs = defaultdict(list)
+        self.logs = logs
+        try:
+            self.components.invoke("train_begin", self.steps, logs)
+            while self.epoch <= self.args.epochs:
+                if not self.args.quiet_logs:
+                    print(f"Starting epoch {self.epoch}")
+                self.components.invoke(
+                    "epoch_begin", self.steps, self.epoch, logs)
+                put = lambda b: jax.device_put(b, self._batch_sharding)
+                epoch_t0 = time.time()
+                epoch_imgs = 0
+                for batch in prefetch_to_device(batcher.epoch(), put):
+                    self.components.invoke("batch_begin", self.steps, logs)
+                    training_metrics = self.train_batch(batch)
+                    for name, value in training_metrics.items():
+                        logs[name].append(value)
+                    self.components.invoke("batch_end", self.steps, logs)
+                    epoch_imgs += self.args.batch_size
+                    if (not self.args.quiet_logs
+                            and self.steps % self.args.log_iters == 0):
+                        shown = {k: round(float(v), 4)
+                                 for k, v in training_metrics.items()}
+                        rate = epoch_imgs / max(time.time() - epoch_t0, 1e-9)
+                        print(f"step {self.steps} "
+                              f"({rate:.1f} img/s): {shown}", flush=True)
+                    self.steps += 1
+
+                self.components.invoke(
+                    "epoch_end", self.steps, self.epoch, logs)
+                if self.epoch == 1 and self.args.cache_dataset:
+                    if hasattr(self.dataset, "save_cache"):
+                        self.dataset.save_cache(
+                            self.dataset_cache_path(self.g.max_size))
+                self.epoch += 1
+        except KeyboardInterrupt:
+            pass  # graceful interrupt (reference trainer.py:113-114)
+        self.components.invoke("train_end", self.steps, logs)
+
+    def train_batch(self, batch):
+        """One fused device step. Returns device scalars (no host sync here —
+        callers convert with float() only when they actually log)."""
+        self.state, metrics = self._train_step(
+            self.state, batch, self.next_key())
+        return metrics
+
+    # ------------------------------------------------------------- sampling
+    def sample_z(self, n=None):
+        if n is None:
+            n = self.args.batch_size
+        return jax.random.normal(
+            self.next_key(), (n, self.gan_config.latent_dims), jnp.float32)
+
+    def sample_g(self, n=None, target_g=False, z=None):
+        """Generate images (NHWC float in [-1,1]) from random or given z."""
+        if z is None:
+            z = self.sample_z(n)
+        params = (self.state.target_g_params if target_g
+                  else self.state.g_params)
+        return self._sample_apply(params, self.state.g_stats, z)
+
+    # --------------------------------------------------------------- state
+    def get_state(self):
+        return dict(epoch=self.epoch, steps=self.steps)
+
+    def set_state(self, state):
+        for key, value in state.items():
+            setattr(self, key, value)
+
+    def checkpoint_artifacts(self):
+        """name -> pytree map for the checkpoint component (mirrors the
+        reference's g/g_target/d/opt_g/opt_d artifact set,
+        components/model_checkpoint.py:36-42)."""
+        s = self.state
+        return {
+            "g": {"params": s.g_params, "batch_stats": s.g_stats},
+            "g_target": {"params": s.target_g_params},
+            "d": {"params": s.d_params, "batch_stats": s.d_stats},
+            "opt_g": s.opt_g,
+            "opt_d": s.opt_d,
+        }
+
+    def load_checkpoint_artifacts(self, artifacts):
+        s = self.state
+        self.state = s.replace(
+            g_params=artifacts["g"]["params"],
+            g_stats=artifacts["g"]["batch_stats"],
+            target_g_params=artifacts["g_target"]["params"],
+            d_params=artifacts["d"]["params"],
+            d_stats=artifacts["d"]["batch_stats"],
+            opt_g=artifacts["opt_g"],
+            opt_d=artifacts["opt_d"],
+        )
+
+    # ------------------------------------------------------------ plumbing
+    def _save_cli_arguments(self):
+        save_cli_arguments(f"{self.output_root}/config.args")
+
+    def _generate_run_id(self, suffix_len=6):
+        now = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        random_suffix = "".join(random.sample(string.ascii_letters, suffix_len))
+        return f"{now}_{random_suffix}"
+
+    @property
+    def output_root(self):
+        return f"{self.args.output}/{self.run_id}"
+
+    def put_replicated(self, tree):
+        return jax.device_put(tree, self._replicated)
+
+    # ----------------------------------------------------------------- CLI
+    @classmethod
+    def get_component_classes(cls, args):
+        from .components.image_sampler import ImageSamplerComponent
+        from .components.model_checkpoint import ModelCheckpointComponent
+        classes = [ImageSamplerComponent, ModelCheckpointComponent]
+
+        if args.fid:
+            from .components.metrics.fid import FIDComponent
+            classes.append(FIDComponent)
+
+        if args.metrics_collector:
+            from .components.metrics import (
+                KatibMetricsComponent,
+                KubeflowMetricsComponent,
+                TensorboardComponent,
+            )
+            classes.append({
+                "katib": KatibMetricsComponent,
+                "kubeflow": KubeflowMetricsComponent,
+                "tensorboard": TensorboardComponent,
+            }[args.metrics_collector])
+        return classes
+
+    @classmethod
+    def create_from_cli(cls, argv=None):
+        """Two-pass parser assembly so the selected components can register
+        their own flags (reference trainer.py:236-267)."""
+        base_parser = argparse.ArgumentParser(
+            description="TartanGAN-TPU trainer", fromfile_prefix_chars="@"
+        )
+        cls.add_args_to_parser(base_parser)
+        base_args = base_parser.parse_known_args(argv)[0]
+
+        component_classes = cls.get_component_classes(base_args)
+        full_parser = argparse.ArgumentParser(
+            description="TartanGAN-TPU trainer", fromfile_prefix_chars="@"
+        )
+        cls.add_args_to_parser(full_parser)
+        for component_class in component_classes:
+            component_class.add_args_to_parser(full_parser)
+        args = full_parser.parse_args(argv)
+
+        print(f'Using JAX backend "{jax.default_backend()}" '
+              f'({len(jax.devices())} device(s))')
+        components = [cc(args) for cc in component_classes]
+        return cls(args, components)
+
+    @classmethod
+    def add_args_to_parser(cls, p):
+        # flag set mirrors reference trainer.py:269-313 (device flags swapped
+        # for TPU-native ones)
+        p.add_argument("data_path")
+        p.add_argument("--batch-size", type=int, default=128)
+        p.add_argument("--gen-freq", type=int, default=200,
+                       help="Output samples every N batches")
+        p.add_argument("--lr-g", type=float, default=1e-4,
+                       help="Learning rate for the generator")
+        p.add_argument("--lr-d", type=float, default=4e-4,
+                       help="Learning rate for the discriminator")
+        p.add_argument("--lr-target-g", type=float, default=1e-3,
+                       help="EMA factor for the target generator")
+        p.add_argument("--epochs", type=int, default=10000)
+        p.add_argument("--output", default="output",
+                       help="Root of output locations. A path segment unique "
+                            "to the run will be appended.")
+        p.add_argument("--dataset-cache", default="cache/{root}_{size}.pkl",
+                       help="Location of dataset cache for ImageFolderDataset")
+        p.add_argument("--grad-penalty", type=float, default=5.0,
+                       help="R1 gradient penalty weight on real data")
+        p.add_argument("--config", default="64",
+                       help="Id of model configuration (see configs.py)")
+        p.add_argument("--model-scale", type=float, default=1.0,
+                       help="Multiply all layer widths by this factor")
+        p.add_argument("--cache-dataset", action="store_true",
+                       help="Enable dataset caching with ImageFolderDataset")
+        p.add_argument("--g-base", default="mlp",
+                       help="Generator latent input: 'mlp' or 'tiledz'")
+        p.add_argument("--norm", default="bn",
+                       help="Normalization: 'bn' (batchnorm) or 'id'")
+        p.add_argument("--activation", default="relu",
+                       help="Activation: 'relu', 'selu' or 'elu'")
+        p.add_argument("--quiet-logs", action="store_true",
+                       help="Reduce log output")
+        p.add_argument("--log-iters", type=int, default=100,
+                       help="Progress logging frequency in steps")
+        p.add_argument("--log-progress-newlines", action="store_true",
+                       help="(accepted for CLI parity; logs are line-based)")
+        p.add_argument("--metrics-collector", default=None,
+                       help="Metric collector: katib, kubeflow, tensorboard")
+        p.add_argument("--run-id", type=type_or_none(str), default=None,
+                       help="Explicit run id (otherwise generated)")
+        p.add_argument("--fid", action="store_true",
+                       help="Calculate FID test metric")
+        # TPU-native flags
+        p.add_argument("--dtype", default="auto",
+                       choices=["auto", "bf16", "f32"],
+                       help="Compute dtype (params always f32)")
+        p.add_argument("--num-devices", type=type_or_none(int), default=None,
+                       help="Devices in the data mesh (default: all)")
+        p.add_argument("--seed", type=int, default=0)
+        p.add_argument("--ema-start", default="copy",
+                       choices=["copy", "reference"],
+                       help="'copy' initializes target-G = G; 'reference' "
+                            "replicates the reference bug where the initial "
+                            "'copy' is a single 1e-3 EMA step from random "
+                            "init (trainers/cnn.py:95,158-165)")
+
+
+if __name__ == "__main__":
+    trainer = Trainer.create_from_cli()
+    trainer.train()
