@@ -110,13 +110,7 @@ class CNNTrainer(Trainer):
         cfg = self.gan_config
         dtype = self.dtype
 
-        self.g = Generator(
-            cfg,
-            input_factory=F.g_input_factory(args.g_base, args.activation),
-            block_factory=F.g_block_factory(args.norm, args.activation),
-            output_factory=F.g_output_factory(args.norm, args.activation),
-            dtype=dtype,
-        )
+        self.g = self.build_generator()
         self.d = self.build_discriminator()
 
         init_z = jnp.zeros((2, cfg.latent_dims), jnp.float32)
@@ -160,7 +154,17 @@ class CNNTrainer(Trainer):
         self._sample_apply = jax.jit(
             lambda params, stats, z: apply_model(self.g, params, stats, z)[0])
 
-    # hooks overridden by the IQN trainer
+    # hooks overridden by the IQN / shared trainers
+    def build_generator(self):
+        args = self.args
+        return Generator(
+            self.gan_config,
+            input_factory=F.g_input_factory(args.g_base, args.activation),
+            block_factory=F.g_block_factory(args.norm, args.activation),
+            output_factory=F.g_output_factory(args.norm, args.activation),
+            dtype=self.dtype,
+        )
+
     def build_discriminator(self):
         args = self.args
         return Discriminator(

@@ -1,0 +1,49 @@
+"""FID pipeline integration: moments CLI -> FID training component.
+
+Runs the real InceptionV3 graph with random-init weights (pretrained weights
+are absent in CI); validates plumbing and that FID(dataset, dataset-like
+generator) is finite and ordering-sane.
+"""
+import numpy as np
+import pytest
+
+import tartangan_tpu.eval.inception as einc
+
+
+@pytest.fixture(scope="module")
+def small_net():
+    # random-init inception (no pretrained download in CI)
+    return einc.InceptionWrapper(pretrained=False)
+
+
+def test_moments_and_fid_closure(tmp_path, rng, small_net, monkeypatch):
+    from tartangan_tpu.data.image_bytes import ImageBytesDataset
+    from tartangan_tpu.eval import fid as efid
+    from tartangan_tpu.eval.moments import calculate_inception_moments
+    from tartangan_tpu.utils.fs import smart_open
+
+    images = rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)
+    ds = ImageBytesDataset(images)
+    mu, sigma = calculate_inception_moments(
+        ds, batch_size=8, quiet=True, net=small_net)
+    assert mu.shape == (2048,)
+    assert sigma.shape == (2048, 2048)
+
+    moments_path = tmp_path / "moments.npz"
+    with smart_open(str(moments_path), "wb") as f:
+        np.savez(f, mu=mu, sigma=sigma)
+
+    # patch the closure to reuse the module-scoped net (skip re-init cost)
+    monkeypatch.setattr(
+        einc, "InceptionWrapper", lambda dtype=None: small_net)
+    get_metrics = efid.prepare_inception_metrics(str(moments_path))
+
+    def sample_fn():
+        idx = rng.integers(0, len(ds), 8)
+        return ds.images[idx].astype(np.float32) / 127.5 - 1.0
+
+    is_mean, is_std, fid = get_metrics(sample_fn, 16, num_splits=2)
+    assert np.isfinite(is_mean) and np.isfinite(is_std)
+    assert np.isfinite(fid)
+    # samples drawn from the same distribution => small FID
+    assert fid < 50.0
