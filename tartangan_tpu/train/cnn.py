@@ -32,18 +32,29 @@ from .trainer import Trainer
 
 
 def make_cnn_train_step(g, d, opt_g, opt_d, *, latent_dims, grad_penalty,
-                        ema_factor, dtype):
+                        ema_factor, dtype, sample_z=None, g_rng_name=None):
     """Build the fused CNN GAN step: (state, uint8 batch, rng) -> (state,
-    metrics). Mirrors reference trainers/cnn.py:107-156."""
+    metrics). Mirrors reference trainers/cnn.py:107-156.
+
+    ``sample_z(key, n)`` overrides latent sampling (e.g. InfoGAN codes);
+    ``g_rng_name`` names an extra rng collection threaded into G applies
+    (the scene generator's patch noise)."""
+    if sample_z is None:
+        def sample_z(key, n):
+            return jax.random.normal(key, (n, latent_dims), jnp.float32)
+
+    def g_rngs(key):
+        return {g_rng_name: key} if g_rng_name else None
 
     def train_step(state, batch_u8, rng):
         batch_size = batch_u8.shape[0]
         real = normalize_batch(batch_u8, dtype)
-        rng_zd, rng_zg = jax.random.split(rng)
+        rng_zd, rng_zg, k_g1, k_g2 = jax.random.split(rng, 4)
 
         # ---- D step (cnn.py:113-137)
-        z = jax.random.normal(rng_zd, (batch_size, latent_dims), jnp.float32)
-        fake, g_stats1 = apply_model(g, state.g_params, state.g_stats, z)
+        z = sample_z(rng_zd, batch_size)
+        fake, g_stats1 = apply_model(g, state.g_params, state.g_stats, z,
+                                     rngs=g_rngs(k_g1))
         fake = jax.lax.stop_gradient(fake)
 
         def d_loss_fn(d_params):
@@ -73,10 +84,11 @@ def make_cnn_train_step(g, d, opt_g, opt_d, *, latent_dims, grad_penalty,
         d_params = optax.apply_updates(state.d_params, d_updates)
 
         # ---- G step (cnn.py:140-149)
-        z2 = jax.random.normal(rng_zg, (batch_size, latent_dims), jnp.float32)
+        z2 = sample_z(rng_zg, batch_size)
 
         def g_loss_fn(g_params):
-            fake2, g_stats2 = apply_model(g, g_params, g_stats1, z2)
+            fake2, g_stats2 = apply_model(g, g_params, g_stats1, z2,
+                                          rngs=g_rngs(k_g2))
             p, d_stats3 = apply_model(d, d_params, d_stats2, fake2)
             loss = bce_with_logits(p, jnp.ones((batch_size, 1), jnp.float32))
             return loss, (g_stats2, d_stats3)
@@ -116,7 +128,7 @@ class CNNTrainer(Trainer):
         init_z = jnp.zeros((2, cfg.latent_dims), jnp.float32)
         init_img = jnp.zeros((2, cfg.max_size, cfg.max_size, cfg.data_dims),
                              jnp.float32)
-        g_vars = self.g.init(self.next_key(), init_z, train=True)
+        g_vars = self.init_generator(init_z)
         d_vars = self.init_discriminator(init_img)
 
         g_params = g_vars["params"]
@@ -135,7 +147,7 @@ class CNNTrainer(Trainer):
         else:
             # reference quirk: 'copy' is actually one 1e-3 EMA step from an
             # independent random init (cnn.py:95 + :158-165)
-            fresh = self.g.init(self.next_key(), init_z, train=True)["params"]
+            fresh = self.init_generator(init_z)["params"]
             target_params = ema_update(g_params, fresh, args.lr_target_g)
 
         state = GANTrainState(
@@ -152,7 +164,8 @@ class CNNTrainer(Trainer):
         self._train_step = jax.jit(
             self.make_train_step(), donate_argnums=(0,))
         self._sample_apply = jax.jit(
-            lambda params, stats, z: apply_model(self.g, params, stats, z)[0])
+            lambda params, stats, z, rngs: apply_model(
+                self.g, params, stats, z, rngs=rngs or None)[0])
 
     # hooks overridden by the IQN / shared trainers
     def build_generator(self):
@@ -173,6 +186,9 @@ class CNNTrainer(Trainer):
             output_factory=F.d_output_factory(args.norm, args.activation),
             dtype=self.dtype,
         )
+
+    def init_generator(self, init_z):
+        return self.g.init(self.next_key(), init_z, train=True)
 
     def init_discriminator(self, init_img):
         return self.d.init(self.next_key(), init_img, train=True)

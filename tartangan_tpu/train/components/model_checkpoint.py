@@ -53,7 +53,8 @@ class ModelCheckpointComponent(TrainerComponent):
         print(f"saving checkpoint to {self.checkpoint_root}")
         artifacts = jax.device_get(self.trainer.checkpoint_artifacts())
         for name, tree in artifacts.items():
-            filename = f"{self.checkpoint_root}/{ARTIFACT_FILES[name]}"
+            fname = ARTIFACT_FILES.get(name, f"{name}.msgpack")
+            filename = f"{self.checkpoint_root}/{fname}"
             with smart_open(filename, "wb") as outfile:
                 outfile.write(serialization.to_bytes(tree))
         with smart_open(f"{self.checkpoint_root}/trainer.json", "w") as out:
@@ -66,7 +67,8 @@ class ModelCheckpointComponent(TrainerComponent):
         templates = self.trainer.checkpoint_artifacts()
         loaded = {}
         for name, template in templates.items():
-            filename = f"{self.checkpoint_root}/{ARTIFACT_FILES[name]}"
+            fname = ARTIFACT_FILES.get(name, f"{name}.msgpack")
+            filename = f"{self.checkpoint_root}/{fname}"
             with smart_open(filename, "rb") as infile:
                 loaded[name] = serialization.from_bytes(
                     jax.device_get(template), infile.read())

@@ -175,7 +175,12 @@ class Trainer:
             z = self.sample_z(n)
         params = (self.state.target_g_params if target_g
                   else self.state.g_params)
-        return self._sample_apply(params, self.state.g_stats, z)
+        return self._sample_apply(params, self.state.g_stats, z,
+                                  self._g_rngs())
+
+    def _g_rngs(self):
+        """Extra rng collections for generator applies (scene noise)."""
+        return {}
 
     # --------------------------------------------------------------- state
     def get_state(self):
