@@ -118,6 +118,19 @@ class Trainer:
         )
         logs = defaultdict(list)
         self.logs = logs
+
+        # preemption safety (beyond the reference's KeyboardInterrupt-only
+        # handling, trainer.py:113-114): SIGTERM triggers the same graceful
+        # shutdown -> final checkpoint + samples + metric flush
+        import signal
+
+        def _on_sigterm(signum, frame):
+            raise KeyboardInterrupt
+
+        try:
+            prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not on the main thread
+            prev_handler = None
         try:
             self.components.invoke("train_begin", self.steps, logs)
             while self.epoch <= self.args.epochs:
@@ -153,6 +166,9 @@ class Trainer:
                 self.epoch += 1
         except KeyboardInterrupt:
             pass  # graceful interrupt (reference trainer.py:113-114)
+        finally:
+            if prev_handler is not None:
+                signal.signal(signal.SIGTERM, prev_handler)
         self.components.invoke("train_end", self.steps, logs)
 
     def train_batch(self, batch):
@@ -217,7 +233,8 @@ class Trainer:
 
     # ------------------------------------------------------------ plumbing
     def _save_cli_arguments(self):
-        save_cli_arguments(f"{self.output_root}/config.args")
+        save_cli_arguments(f"{self.output_root}/config.args",
+                           argv=getattr(self.args, "_argv", None))
 
     def _generate_run_id(self, suffix_len=6):
         now = datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
@@ -237,6 +254,10 @@ class Trainer:
         from .components.image_sampler import ImageSamplerComponent
         from .components.model_checkpoint import ModelCheckpointComponent
         classes = [ImageSamplerComponent, ModelCheckpointComponent]
+
+        if args.profile_dir or args.timing:
+            from .components.profiler import ProfilerComponent
+            classes.append(ProfilerComponent)
 
         if args.fid:
             from .components.metrics.fid import FIDComponent
@@ -273,6 +294,7 @@ class Trainer:
         for component_class in component_classes:
             component_class.add_args_to_parser(full_parser)
         args = full_parser.parse_args(argv)
+        args._argv = list(argv) if argv is not None else None
 
         print(f'Using JAX backend "{jax.default_backend()}" '
               f'({len(jax.devices())} device(s))')
@@ -325,6 +347,10 @@ class Trainer:
                        help="Explicit run id (otherwise generated)")
         p.add_argument("--fid", action="store_true",
                        help="Calculate FID test metric")
+        p.add_argument("--profile-dir", type=type_or_none(str), default=None,
+                       help="Capture a JAX device trace into this directory")
+        p.add_argument("--timing", action="store_true",
+                       help="Log images/sec throughput to the metrics logs")
         # TPU-native flags
         p.add_argument("--dtype", default="auto",
                        choices=["auto", "bf16", "f32"],

@@ -9,13 +9,13 @@ import sys
 from .fs import smart_open
 
 
-def save_cli_arguments(filename, fromfile_prefix="@"):
+def save_cli_arguments(filename, fromfile_prefix="@", argv=None):
     """Save argv to an argparse ``@file`` for exact run replay.
 
     If the only argument is already an ``@file``, copy its contents
     (reference utils/cli.py:6-22).
     """
-    args = sys.argv[1:]
+    args = list(argv) if argv is not None else sys.argv[1:]
     if args and args[0].startswith(fromfile_prefix):
         input_filename = args[0][1:]
         with smart_open(input_filename, "r") as infile:

@@ -1,0 +1,85 @@
+"""Explore apps + web export against a freshly trained tiny checkpoint."""
+import os
+
+import numpy as np
+import pytest
+
+from tartangan_tpu.train.cnn import CNNTrainer
+
+
+@pytest.fixture(scope="module")
+def trained_run(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("explore")
+    rng = np.random.default_rng(0)
+    images = rng.integers(0, 256, size=(16, 16, 16, 3), dtype=np.uint8)
+    archive = tmp_path / "data.npz"
+    np.savez_compressed(archive, images=images)
+    argv = [
+        str(archive), "--config", "16", "--batch-size", "8",
+        "--epochs", "1", "--output", str(tmp_path / "out"),
+        "--gen-freq", "100", "--run-id", "exp",
+        "--dtype", "f32", "--quiet-logs",
+    ]
+    trainer = CNNTrainer.create_from_cli(argv)
+    trainer.train()
+    return str(tmp_path / "out" / "exp")
+
+
+def test_render_tour(trained_run, tmp_path):
+    from tartangan_tpu.explore.render_tour import RenderTour
+    out = tmp_path / "tour" / "frame"
+    app = RenderTour(RenderTour.parse_cli_args(
+        [trained_run, str(out), "--num-points", "2", "--seg-frames", "2"]))
+    app.run()
+    frames = os.listdir(tmp_path / "tour")
+    assert len(frames) == 4  # 2 points x 2 frames
+
+
+def test_render_tour_trunc_norm(trained_run, tmp_path):
+    from tartangan_tpu.explore.render_tour import RenderTour
+    out = tmp_path / "tour2" / "frame"
+    app = RenderTour(RenderTour.parse_cli_args(
+        [trained_run, str(out), "--trunc-norm", "1.5"]))
+    app.run()
+    assert len(os.listdir(tmp_path / "tour2")) > 0
+
+
+def test_continuous_interp(trained_run, tmp_path):
+    from tartangan_tpu.explore.continuous_interp import ContinuousInterp
+    out = tmp_path / "ci" / "img"
+    app = ContinuousInterp(ContinuousInterp.parse_cli_args(
+        [trained_run, str(out), "--output-size", "32",
+         "--num-points", "3"]))
+    app.run()
+    assert os.path.exists(f"{out}_combined.png")
+
+
+def test_find_image(trained_run, tmp_path):
+    from PIL import Image
+    from tartangan_tpu.explore.find_image import FindImage
+    target = tmp_path / "target.png"
+    rng = np.random.default_rng(3)
+    Image.fromarray(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)).save(target)
+    out = tmp_path / "find" / "img"
+    app = FindImage(FindImage.parse_cli_args(
+        [trained_run, str(out), str(target),
+         "--max-steps", "3", "--num-samples", "2", "--save-freq", "1"]))
+    app.run()
+    assert os.path.exists(f"{out}_0.png")
+
+
+def test_web_export_roundtrip(trained_run, tmp_path):
+    import jax
+    from tartangan_tpu.export.web import WebExportApp
+    out = tmp_path / "web" / "ttgan"
+    app = WebExportApp(WebExportApp.parse_cli_args(
+        [trained_run, "--output", str(out)]))
+    app.run()
+    assert os.path.exists(f"{out}.stablehlo")
+    assert os.path.exists(f"{out}.json")
+    with open(f"{out}.stablehlo", "rb") as f:
+        exported = jax.export.deserialize(f.read())
+    z = np.zeros((1, 100), np.float32)
+    imgs = exported.call(z)
+    assert imgs.shape == (1, 16, 16, 3)
