@@ -7,9 +7,11 @@ with a learnable scalar gamma initialized to 0.
 
 TPU design: the 1x1 convs are plain matmuls over the channel axis, and the
 attention itself is two (B, HW, C') batched matmuls — all MXU work. A fused
-Pallas kernel (ops/pallas/attention.py) handles the softmax(QK^T)V chain in
-VMEM for large HW when running on TPU; the jnp path below is the reference
-semantics and the fallback on CPU.
+Pallas kernel (ops/pallas/attention.py) keeps the softmax(QK^T)V chain in
+VMEM; measured on v5e at the SA-GAN shapes (B8 Lq4096 Lk1024 Ck16 Cv64) the
+XLA-fused path is slightly faster (0.55 ms vs 0.75 ms — the C/8 head dims
+under-fill the MXU lanes in the hand kernel), so the kernel is opt-in via
+``use_pallas=True`` and the default is the XLA path.
 """
 from __future__ import annotations
 
@@ -28,7 +30,7 @@ Dtype = Any
 class SelfAttention2d(nn.Module):
     in_dims: int
     dtype: Dtype = jnp.float32
-    use_pallas: bool = True  # fused kernel on TPU when profitable
+    use_pallas: bool = False  # opt-in fused kernel (see module docstring)
 
     @nn.compact
     def __call__(self, x, train: bool = True):

@@ -1,13 +1,17 @@
 """Fused SA-GAN attention kernel (Pallas/TPU).
 
-Computes ``softmax(q @ k^T) @ v`` per batch element with the logits kept in
-VMEM — one HBM round-trip for q/k/v/out instead of materializing the
-(HW x HW/4) attention map in HBM. Semantics match
-``models/attention.py::_attention`` (un-scaled logits, row softmax), i.e.
-reference attention.py:32-34.
+Computes ``softmax(q @ k^T) @ v`` with the logits kept in VMEM — one HBM
+round-trip for q/k/v/out instead of materializing the (HW x HW/4) attention
+map in HBM. Semantics match ``models/attention.py::_attention`` (un-scaled
+logits, row softmax), i.e. reference attention.py:32-34.
 
-Shapes are tiny by LLM standards (HW <= 4096, KV = HW/4, C' <= 512) so a
-single-block-per-batch kernel is sufficient; the win is fusion, not tiling.
+The grid tiles (batch, query-block): each program holds a (TILE_Q, Ck)
+query tile plus the full K/V for its batch element, so the softmax is exact
+per row (no online accumulation needed — KV length is HW/4 <= 64k elems).
+TILE_Q is sized to keep the f32 logits block well under the ~16 MB VMEM
+budget.
+
+Backward is a recompute-based custom VJP in plain XLA ops.
 """
 from __future__ import annotations
 
@@ -16,8 +20,9 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Above this many logits elements per batch we'd rather let XLA tile it.
-_MAX_LOGITS_ELEMS = 8 * 1024 * 1024
+_TILE_Q = 512
+# logits f32 per tile: 512 * lk * 4 bytes; keep under ~8 MB -> lk <= 4096
+_MAX_KV = 4096
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
@@ -76,22 +81,23 @@ def _fused_attention_fwd_impl(q, k, v):
         raise NotImplementedError("pallas fused attention is TPU-only")
     b, lq, ck = q.shape
     _, lk, cv = v.shape
-    if lq * lk > _MAX_LOGITS_ELEMS:
-        raise NotImplementedError("attention map too large for fused kernel")
+    if lk > _MAX_KV:
+        raise NotImplementedError("KV too long for the single-pass kernel")
 
-    grid = (b,)
+    tile_q = min(_TILE_Q, lq)
+    grid = (b, pl.cdiv(lq, tile_q))
     return pl.pallas_call(
         _attn_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, lq, ck), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, tile_q, ck), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, ck), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, lk, ck), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lk, cv), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, lk, cv), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, lq, cv), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, tile_q, cv), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lq, cv), q.dtype),
     )(q, k, v)

@@ -1,0 +1,57 @@
+"""Self-attention parity vs a torch transliteration of the reference."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tartangan_tpu.models.attention import SelfAttention2d
+
+torch = pytest.importorskip("torch")
+import torch.nn.functional as TF  # noqa: E402
+
+
+def test_attention_matches_reference_math(rng):
+    """Port our params into the reference formula (attention.py:21-35)."""
+    c = 16
+    x = rng.standard_normal((2, 8, 8, c)).astype(np.float32)
+    mod = SelfAttention2d(c)
+    variables = mod.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    params = jax.device_get(variables["params"])
+    # force a nonzero gamma so the attention path matters
+    params["gamma"] = np.float32(0.7)
+    ours = np.asarray(mod.apply({"params": params}, jnp.asarray(x)))
+
+    # torch reference using the same weights (HWIO (1,1,C,Co) -> OIHW)
+    def w(name):
+        kern = params[name]["kernel"]  # (1, 1, cin, cout)
+        return torch.from_numpy(
+            np.ascontiguousarray(kern[0, 0].T[:, :, None, None]))
+
+    xt = torch.from_numpy(x.transpose(0, 3, 1, 2))
+    theta = TF.conv2d(xt, w("theta"))
+    phi = TF.max_pool2d(TF.conv2d(xt, w("phi")), (2, 2))
+    g = TF.max_pool2d(TF.conv2d(xt, w("g")), (2, 2))
+    b, _, h, wd = xt.shape
+    theta = theta.view(b, c // 8, h * wd)
+    phi = phi.view(b, c // 8, h * wd // 4)
+    g = g.view(b, c // 2, h * wd // 4)
+    beta = TF.softmax(torch.bmm(theta.transpose(1, 2), phi), -1)
+    o = TF.conv2d(
+        torch.bmm(g, beta.transpose(1, 2)).view(b, c // 2, h, wd), w("o"))
+    expected = (0.7 * o + xt).numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_kernel_unavailable_on_cpu_falls_back():
+    from tartangan_tpu.ops.pallas.attention import fused_attention
+    with pytest.raises(NotImplementedError):
+        fused_attention(jnp.zeros((1, 16, 4)), jnp.zeros((1, 4, 4)),
+                        jnp.zeros((1, 4, 8)))
+
+    # the module-level wrapper must fall back silently
+    mod = SelfAttention2d(16, use_pallas=True)
+    x = jnp.zeros((1, 4, 4, 16))
+    variables = mod.init(jax.random.PRNGKey(0), x)
+    out = mod.apply(variables, x)
+    assert out.shape == x.shape
