@@ -39,14 +39,26 @@ class ImageBytesDataset:
         return self.crop_size or self.images.shape[1]
 
     def batch(self, indices: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-        """Gather + random-crop a batch (uint8 NHWC)."""
-        imgs = self.images[indices]
+        """Gather + random-crop a batch (uint8 NHWC).
+
+        Uses the native C++ batcher (native/crop.cpp) when available —
+        one OpenMP pass of row memcpys — with a numpy fallback.
+        """
+        from .. import native
+
+        _, h, w, _ = self.images.shape
         size = self.crop_size
-        if size is None or (imgs.shape[1] == size and imgs.shape[2] == size):
-            return imgs
-        n, h, w, _ = imgs.shape
+        if size is None or (h == size and w == size):
+            out = native.gather_batch(self.images, np.asarray(indices))
+            return out if out is not None else self.images[indices]
+        n = len(indices)
         ys = rng.integers(0, h - size + 1, size=n)
         xs = rng.integers(0, w - size + 1, size=n)
+        out = native.crop_batch(self.images, np.asarray(indices), ys, xs,
+                                size)
+        if out is not None:
+            return out
+        imgs = self.images[indices]
         out = np.empty((n, size, size, imgs.shape[3]), dtype=np.uint8)
         for i in range(n):
             out[i] = imgs[i, ys[i]:ys[i] + size, xs[i]:xs[i] + size]
