@@ -4,18 +4,24 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 ``vs_baseline`` compares against the measured PyTorch-reference throughput
 for the identical workload (BASELINE.md: the reference publishes no numbers,
-so the baseline must be measured). ``python bench_baseline.py`` measures the
-torch reference loop on this host and writes BASELINE_MEASURED.json; if that
-file is absent we fall back to a conservative stored measurement.
+so the baseline must be measured — ``python bench_baseline.py`` reproduces
+the reference's train_batch in torch and writes BASELINE_MEASURED.json;
+note it measures torch-CPU since this host has no CUDA device).
+
+Flags: --config/--batch-size/--steps select the workload;
+--end-to-end times the full Trainer loop (host pipeline + prefetch +
+device step) on a synthetic tartan archive instead of the bare step.
 """
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import time
 
 
-def measure_tpu(config="128", batch_size=128, steps=20, warmup=3):
+def measure_step(config="128", batch_size=128, steps=50, warmup=5):
+    """Time the bare fused train step (device-bound ceiling)."""
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -51,7 +57,8 @@ def measure_tpu(config="128", batch_size=128, steps=20, warmup=3):
 
     state = GANTrainState(
         g_params=g_vars["params"], g_stats=g_vars.get("batch_stats", {}),
-        target_g_params=g_vars["params"],
+        target_g_params=jax.tree_util.tree_map(
+            jnp.copy, g_vars["params"]),
         d_params=d_vars["params"], d_stats=d_vars.get("batch_stats", {}),
         opt_g=opt_g.init(g_vars["params"]),
         opt_d=opt_d.init(d_vars["params"]),
@@ -79,6 +86,58 @@ def measure_tpu(config="128", batch_size=128, steps=20, warmup=3):
     return batch_size * steps / dt
 
 
+def measure_end_to_end(config="128", batch_size=128, steps=60):
+    """Time the full Trainer loop: native host batcher, prefetch,
+    device-side normalize, fused step, component hooks."""
+    import tempfile
+
+    import numpy as np
+
+    from tartangan_tpu.data.synthetic import make_archive
+    from tartangan_tpu.train.cnn import CNNTrainer
+
+    with tempfile.TemporaryDirectory() as tmp:
+        from tartangan_tpu.configs import GAN_CONFIGS
+        size = GAN_CONFIGS[config].max_size
+        n = max(batch_size * steps, batch_size)
+        archive = os.path.join(tmp, "data.npz")
+        np.savez(archive, images=make_archive(n, size))
+        trainer = CNNTrainer.create_from_cli([
+            archive, "--config", config, "--batch-size", str(batch_size),
+            "--epochs", "2", "--output", os.path.join(tmp, "out"),
+            "--gen-freq", "1000000", "--checkpoint-freq", "1000000",
+            "--run-id", "bench", "--quiet-logs",
+        ])
+        trainer.build_models()
+        trainer.dataset = trainer.prepare_dataset()
+        from collections import defaultdict
+
+        import jax
+
+        from tartangan_tpu.data.prefetch import (
+            EpochBatcher,
+            prefetch_to_device,
+        )
+        batcher = EpochBatcher(trainer.dataset, batch_size)
+        put = lambda b: jax.device_put(b, trainer._batch_sharding)
+        # warmup epoch fragment
+        it = prefetch_to_device(batcher.epoch(), put)
+        m = None
+        for i, batch in enumerate(it):
+            m = trainer.train_batch(batch)
+            if i >= 4:
+                break
+        jax.block_until_ready(m["g_loss"])
+        count = 0
+        t0 = time.perf_counter()
+        for batch in prefetch_to_device(batcher.epoch(), put):
+            m = trainer.train_batch(batch)
+            count += 1
+        jax.block_until_ready(m["g_loss"])
+        dt = time.perf_counter() - t0
+        return batch_size * count / dt
+
+
 def load_baseline():
     here = os.path.dirname(os.path.abspath(__file__))
     path = os.path.join(here, "BASELINE_MEASURED.json")
@@ -89,11 +148,25 @@ def load_baseline():
 
 
 def main():
-    value = measure_tpu()
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", default="128")
+    p.add_argument("--batch-size", type=int, default=128)
+    p.add_argument("--steps", type=int, default=50)
+    p.add_argument("--end-to-end", action="store_true")
+    args = p.parse_args()
+
+    if args.end_to_end:
+        value = measure_end_to_end(args.config, args.batch_size, args.steps)
+        metric = f"images_per_sec_{args.config}px_sagan_train_e2e"
+    else:
+        value = measure_step(args.config, args.batch_size, args.steps)
+        metric = "images_per_sec_128px_sagan_train" \
+            if args.config == "128" \
+            else f"images_per_sec_{args.config}px_sagan_train"
     baseline = load_baseline()
     vs = (value / baseline) if baseline else None
     print(json.dumps({
-        "metric": "images_per_sec_128px_sagan_train",
+        "metric": metric,
         "value": round(value, 2),
         "unit": "img/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
