@@ -108,6 +108,10 @@ def prepare_inception_metrics(moments_path, dtype=None, no_fid: bool = False):
             fid = float(frechet_distance(
                 jnp.asarray(mu), jnp.asarray(sigma),
                 jnp.asarray(data_mu), jnp.asarray(data_sigma)))
+            if not np.isfinite(fid):
+                # f32 Newton-Schulz can diverge on ill-conditioned
+                # covariances; fall back to float64 scipy sqrtm
+                fid = numpy_frechet_distance(mu, sigma, data_mu, data_sigma)
         else:
             fid = numpy_frechet_distance(mu, sigma, data_mu, data_sigma)
         return is_mean, is_std, fid

@@ -209,11 +209,32 @@ class InceptionV3Features(nn.Module):
 
 def init_inception(dtype=jnp.float32, seed: int = 0):
     """Random-init variables (used when pretrained weights are absent and
-    by the port-parity tests)."""
+    by the port-parity tests).
+
+    Init runs pinned to the CPU backend: tracing/compiling the full
+    InceptionV3 init graph through a TPU AOT compiler takes minutes, while
+    the parameters themselves transfer to the accelerator lazily on first
+    use anyway.
+    """
     model = InceptionV3Features(dtype=dtype)
-    variables = model.init(
-        jax.random.PRNGKey(seed), jnp.zeros((1, 299, 299, 3), jnp.float32))
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        cpu = None
+    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
+    with ctx:
+        variables = model.init(
+            jax.random.PRNGKey(seed),
+            jnp.zeros((1, 299, 299, 3), jnp.float32))
     return model, variables
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 def port_torch_state_dict(variables, state_dict):

@@ -6,8 +6,10 @@ Parity: reference components/model_checkpoint.py:11-117 — same layout
 (``--checkpoint-freq`` / ``--resume-training-step`` /
 ``--resume-training-latest``), same re-save suppression, S3-capable paths.
 
-Format: flax msgpack serialization per artifact (``.msgpack``) instead of
-torch pickles — pure pytrees, no code objects, portable across hosts.
+Formats (``--checkpoint-format``): ``msgpack`` (default) writes one flax
+msgpack pytree per artifact — pure data, no code objects, S3-capable;
+``orbax`` writes each artifact through Orbax's StandardCheckpointer
+(sharding-aware, local paths only).
 """
 from __future__ import annotations
 
@@ -48,15 +50,29 @@ class ModelCheckpointComponent(TrainerComponent):
     def on_train_end(self, steps, logs):
         self.save_checkpoint(steps)
 
+    @property
+    def _format(self):
+        return getattr(self.trainer.args, "checkpoint_format", "msgpack")
+
     def save_checkpoint(self, steps):
         maybe_makedirs(self.checkpoint_root)
         print(f"saving checkpoint to {self.checkpoint_root}")
         artifacts = jax.device_get(self.trainer.checkpoint_artifacts())
-        for name, tree in artifacts.items():
-            fname = ARTIFACT_FILES.get(name, f"{name}.msgpack")
-            filename = f"{self.checkpoint_root}/{fname}"
-            with smart_open(filename, "wb") as outfile:
-                outfile.write(serialization.to_bytes(tree))
+        if self._format == "orbax":
+            import os
+
+            import orbax.checkpoint as ocp
+            with ocp.StandardCheckpointer() as ckptr:
+                for name, tree in artifacts.items():
+                    path = os.path.abspath(
+                        f"{self.checkpoint_root}/{name}.orbax")
+                    ckptr.save(path, tree, force=True)
+        else:
+            for name, tree in artifacts.items():
+                fname = ARTIFACT_FILES.get(name, f"{name}.msgpack")
+                filename = f"{self.checkpoint_root}/{fname}"
+                with smart_open(filename, "wb") as outfile:
+                    outfile.write(serialization.to_bytes(tree))
         with smart_open(f"{self.checkpoint_root}/trainer.json", "w") as out:
             json.dump(self.trainer.get_state(), out)
 
@@ -66,12 +82,23 @@ class ModelCheckpointComponent(TrainerComponent):
 
         templates = self.trainer.checkpoint_artifacts()
         loaded = {}
-        for name, template in templates.items():
-            fname = ARTIFACT_FILES.get(name, f"{name}.msgpack")
-            filename = f"{self.checkpoint_root}/{fname}"
-            with smart_open(filename, "rb") as infile:
-                loaded[name] = serialization.from_bytes(
-                    jax.device_get(template), infile.read())
+        if self._format == "orbax":
+            import os
+
+            import orbax.checkpoint as ocp
+            with ocp.StandardCheckpointer() as ckptr:
+                for name, template in templates.items():
+                    path = os.path.abspath(
+                        f"{self.checkpoint_root}/{name}.orbax")
+                    loaded[name] = ckptr.restore(
+                        path, jax.device_get(template))
+        else:
+            for name, template in templates.items():
+                fname = ARTIFACT_FILES.get(name, f"{name}.msgpack")
+                filename = f"{self.checkpoint_root}/{fname}"
+                with smart_open(filename, "rb") as infile:
+                    loaded[name] = serialization.from_bytes(
+                        jax.device_get(template), infile.read())
         self.trainer.load_checkpoint_artifacts(loaded)
 
         with smart_open(f"{self.checkpoint_root}/trainer.json", "r") as infile:
@@ -115,3 +142,8 @@ class ModelCheckpointComponent(TrainerComponent):
         parser.add_argument("--resume-training-latest", action="store_true",
                             help="Resume from the latest checkpoint for the "
                                  "given run-id")
+        parser.add_argument("--checkpoint-format", default="msgpack",
+                            choices=["msgpack", "orbax"],
+                            help="msgpack: one flax pytree per artifact "
+                                 "(S3-capable); orbax: StandardCheckpointer "
+                                 "directories (sharding-aware)")
