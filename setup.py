@@ -33,6 +33,8 @@ setup(
             "tartangan_prep_images = tartangan_tpu.data.image_bytes:main",
             "tartangan_inception_moments = tartangan_tpu.eval.moments:main",
             "tartangan_export_web = tartangan_tpu.export.web:main",
+            "tartangan_serve = tartangan_tpu.serve:main",
+            "tartangan_synthetic = tartangan_tpu.data.synthetic:main",
         ]
     },
     install_requires=[
