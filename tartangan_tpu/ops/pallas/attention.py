@@ -76,8 +76,8 @@ def _fused_attention_bwd(res, do):
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
 
 
-def _fused_attention_fwd_impl(q, k, v):
-    if jax.default_backend() != "tpu":
+def _fused_attention_fwd_impl(q, k, v, interpret: bool = False):
+    if not interpret and jax.default_backend() != "tpu":
         raise NotImplementedError("pallas fused attention is TPU-only")
     b, lq, ck = q.shape
     _, lk, cv = v.shape
@@ -100,4 +100,5 @@ def _fused_attention_fwd_impl(q, k, v):
         out_specs=pl.BlockSpec((1, tile_q, cv), lambda i, j: (i, j, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, lq, cv), q.dtype),
+        interpret=interpret,
     )(q, k, v)

@@ -43,6 +43,23 @@ def test_attention_matches_reference_math(rng):
     np.testing.assert_allclose(ours, expected, rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_kernel_interpret_matches_reference(rng):
+    """Execute the kernel body in interpret mode on CPU and compare to the
+    jnp reference formula (also exercises the q-tiling path)."""
+    from tartangan_tpu.ops.pallas.attention import (
+        _fused_attention_fwd_impl,
+        _softmax_qkT,
+    )
+    b, lq, lk, ck, cv = 2, 1024, 256, 8, 16  # lq > _TILE_Q -> 2 q-tiles
+    q = jnp.asarray(rng.standard_normal((b, lq, ck)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, lk, ck)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, lk, cv)), jnp.float32)
+    out = _fused_attention_fwd_impl(q, k, v, interpret=True)
+    ref = jnp.einsum("bqk,bkc->bqc", _softmax_qkT(q, k), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_pallas_kernel_unavailable_on_cpu_falls_back():
     from tartangan_tpu.ops.pallas.attention import fused_attention
     with pytest.raises(NotImplementedError):
