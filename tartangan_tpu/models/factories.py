@@ -44,19 +44,31 @@ def g_input_factory(g_base: str, activation: str):
     return factory
 
 
-def g_block_factory(norm: str, activation: str, ndim: int = 2):
+def g_block_factory(norm: str, activation: str, ndim: int = 2,
+                    remat: bool = False):
+    """``remat=True`` wraps each block in ``nn.remat`` — activations are
+    recomputed in the backward pass, trading FLOPs for HBM (useful for the
+    512/1024-px configs at larger batch)."""
+    import flax.linen as nn
+    cls = nn.remat(ResidualGeneratorBlock) if remat else ResidualGeneratorBlock
+
     def factory(in_dims, out_dims, *, first_block=False, upsample=True,
                 dtype=jnp.float32):
-        return ResidualGeneratorBlock(
+        return cls(
             in_dims, out_dims, upsample=upsample, first_block=first_block,
             norm=norm, activation=activation, ndim=ndim, dtype=dtype,
         )
     return factory
 
 
-def d_block_factory(norm: str, activation: str, ndim: int = 2):
+def d_block_factory(norm: str, activation: str, ndim: int = 2,
+                    remat: bool = False):
+    import flax.linen as nn
+    cls = (nn.remat(ResidualDiscriminatorBlock) if remat
+           else ResidualDiscriminatorBlock)
+
     def factory(in_dims, out_dims, *, first_block=False, dtype=jnp.float32):
-        return ResidualDiscriminatorBlock(
+        return cls(
             in_dims, out_dims, first_block=first_block,
             norm=norm, activation=activation, ndim=ndim, dtype=dtype,
         )

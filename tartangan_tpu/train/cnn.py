@@ -173,7 +173,8 @@ class CNNTrainer(Trainer):
         return Generator(
             self.gan_config,
             input_factory=F.g_input_factory(args.g_base, args.activation),
-            block_factory=F.g_block_factory(args.norm, args.activation),
+            block_factory=F.g_block_factory(args.norm, args.activation,
+                                            remat=args.remat),
             output_factory=F.g_output_factory(args.norm, args.activation),
             dtype=self.dtype,
         )
@@ -182,7 +183,8 @@ class CNNTrainer(Trainer):
         args = self.args
         return Discriminator(
             self.gan_config,
-            block_factory=F.d_block_factory(args.norm, args.activation),
+            block_factory=F.d_block_factory(args.norm, args.activation,
+                                            remat=args.remat),
             output_factory=F.d_output_factory(args.norm, args.activation),
             dtype=self.dtype,
         )

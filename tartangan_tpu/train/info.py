@@ -130,7 +130,8 @@ class InfoTrainer(CNNTrainer):
         args = self.args
         return Discriminator(
             self.gan_config,
-            block_factory=F.d_block_factory(args.norm, args.activation),
+            block_factory=F.d_block_factory(args.norm, args.activation,
+                                            remat=args.remat),
             output_factory=F.info_d_output_factory(
                 args.norm, args.activation,
                 args.info_cat_dims + args.info_cont_dims),

@@ -103,7 +103,8 @@ class IQNTrainer(CNNTrainer):
         args = self.args
         return IQNDiscriminator(
             self.gan_config,
-            block_factory=F.d_block_factory(args.norm, args.activation),
+            block_factory=F.d_block_factory(args.norm, args.activation,
+                                            remat=args.remat),
             output_factory=F.iqn_d_output_factory(args.norm, args.activation),
             dtype=self.dtype,
         )

@@ -351,6 +351,9 @@ class Trainer:
                        help="Capture a JAX device trace into this directory")
         p.add_argument("--timing", action="store_true",
                        help="Log images/sec throughput to the metrics logs")
+        p.add_argument("--remat", action="store_true",
+                       help="Rematerialize residual blocks in the backward "
+                            "pass (saves HBM at high resolutions)")
         # TPU-native flags
         p.add_argument("--dtype", default="auto",
                        choices=["auto", "bf16", "f32"],
