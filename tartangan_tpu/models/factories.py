@@ -50,7 +50,8 @@ def g_block_factory(norm: str, activation: str, ndim: int = 2,
     recomputed in the backward pass, trading FLOPs for HBM (useful for the
     512/1024-px configs at larger batch)."""
     import flax.linen as nn
-    cls = nn.remat(ResidualGeneratorBlock) if remat else ResidualGeneratorBlock
+    cls = (nn.remat(ResidualGeneratorBlock, static_argnums=(2,))
+           if remat else ResidualGeneratorBlock)
 
     def factory(in_dims, out_dims, *, first_block=False, upsample=True,
                 dtype=jnp.float32):
@@ -64,8 +65,8 @@ def g_block_factory(norm: str, activation: str, ndim: int = 2,
 def d_block_factory(norm: str, activation: str, ndim: int = 2,
                     remat: bool = False):
     import flax.linen as nn
-    cls = (nn.remat(ResidualDiscriminatorBlock) if remat
-           else ResidualDiscriminatorBlock)
+    cls = (nn.remat(ResidualDiscriminatorBlock, static_argnums=(2,))
+           if remat else ResidualDiscriminatorBlock)
 
     def factory(in_dims, out_dims, *, first_block=False, dtype=jnp.float32):
         return cls(
