@@ -53,6 +53,15 @@ class Trainer:
     def __init__(self, args, components):
         self.args = args
 
+        # fail fast on a bad dataset path (before minutes of XLA compile);
+        # s3:// paths are validated lazily at load
+        from ..utils.fs import is_s3_path
+        if (getattr(args, "data_path", None)
+                and not is_s3_path(args.data_path)
+                and not os.path.exists(args.data_path)):
+            raise FileNotFoundError(
+                f"data_path does not exist: {args.data_path}")
+
         if args.run_id is None:
             self.run_id = self._generate_run_id()
         else:
