@@ -128,37 +128,38 @@ class CNNTrainer(Trainer):
         init_z = jnp.zeros((2, cfg.latent_dims), jnp.float32)
         init_img = jnp.zeros((2, cfg.max_size, cfg.max_size, cfg.data_dims),
                              jnp.float32)
-        g_vars = self.init_generator(init_z)
-        d_vars = self.init_discriminator(init_img)
+        with self.init_device():
+            g_vars = self.init_generator(init_z)
+            d_vars = self.init_discriminator(init_img)
 
-        g_params = g_vars["params"]
-        d_params = d_vars["params"]
-        if args.activation == "selu":
-            g_params = selu_reinit(self.next_key(), g_params)
-            d_params = selu_reinit(self.next_key(), d_params)
+            g_params = g_vars["params"]
+            d_params = d_vars["params"]
+            if args.activation == "selu":
+                g_params = selu_reinit(self.next_key(), g_params)
+                d_params = selu_reinit(self.next_key(), d_params)
 
-        self.opt_g = make_adam(args.lr_g)
-        self.opt_d = make_adam(args.lr_d)
+            self.opt_g = make_adam(args.lr_g)
+            self.opt_d = make_adam(args.lr_d)
 
-        if args.ema_start == "copy":
-            # materialize distinct buffers: the train step donates its input
-            # state, and aliased g/target leaves would be donated twice
-            target_params = jax.tree_util.tree_map(jnp.copy, g_params)
-        else:
-            # reference quirk: 'copy' is actually one 1e-3 EMA step from an
-            # independent random init (cnn.py:95 + :158-165)
-            fresh = self.init_generator(init_z)["params"]
-            target_params = ema_update(g_params, fresh, args.lr_target_g)
+            if args.ema_start == "copy":
+                # materialize distinct buffers: the train step donates its
+                # input state; aliased g/target leaves would be donated twice
+                target_params = jax.tree_util.tree_map(jnp.copy, g_params)
+            else:
+                # reference quirk: 'copy' is actually one 1e-3 EMA step from
+                # an independent random init (cnn.py:95 + :158-165)
+                fresh = self.init_generator(init_z)["params"]
+                target_params = ema_update(g_params, fresh, args.lr_target_g)
 
-        state = GANTrainState(
-            g_params=g_params,
-            g_stats=g_vars.get("batch_stats", {}),
-            target_g_params=target_params,
-            d_params=d_params,
-            d_stats=d_vars.get("batch_stats", {}),
-            opt_g=self.opt_g.init(g_params),
-            opt_d=self.opt_d.init(d_params),
-        )
+            state = GANTrainState(
+                g_params=g_params,
+                g_stats=g_vars.get("batch_stats", {}),
+                target_g_params=target_params,
+                d_params=d_params,
+                d_stats=d_vars.get("batch_stats", {}),
+                opt_g=self.opt_g.init(g_params),
+                opt_d=self.opt_d.init(d_params),
+            )
         self.state = self.put_replicated(state)
 
         self._train_step = jax.jit(

@@ -190,10 +190,11 @@ class TextCNNTrainer(CNNTrainer):
 
         init_z = jnp.zeros((2, cfg.latent_dims), jnp.float32)
         init_seq = jnp.zeros((2, cfg.max_size, cfg.data_dims), jnp.float32)
-        g_vars = self.g.init(self.next_key(), init_z, train=True)
-        d_vars = self.d.init(self.next_key(), init_seq, train=True)
-        emb_vars = self.embedding.init(
-            self.next_key(), jnp.zeros((2, 4), jnp.int32))
+        with self.init_device():
+            g_vars = self.g.init(self.next_key(), init_z, train=True)
+            d_vars = self.d.init(self.next_key(), init_seq, train=True)
+            emb_vars = self.embedding.init(
+                self.next_key(), jnp.zeros((2, 4), jnp.int32))
 
         g_params, d_params = g_vars["params"], d_vars["params"]
         if args.activation == "selu":

@@ -257,6 +257,16 @@ class Trainer:
     def put_replicated(self, tree):
         return jax.device_put(tree, self._replicated)
 
+    def init_device(self):
+        """Context manager pinning model init to the CPU backend — eager
+        init through a TPU AOT compiler costs minutes; the resulting
+        arrays migrate to the mesh via put_replicated anyway."""
+        import contextlib
+        try:
+            return jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            return contextlib.nullcontext()
+
     # ----------------------------------------------------------------- CLI
     @classmethod
     def get_component_classes(cls, args):
