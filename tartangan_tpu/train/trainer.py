@@ -105,16 +105,18 @@ class Trainer:
         if os.path.isdir(self.args.data_path):
             dataset = ImageFolderDataset(self.args.data_path, img_size)
             if self.args.dataset_cache:
-                dataset.load_cache(self.dataset_cache_path(img_size))
+                dataset.load_cache(
+                    self.dataset_cache_path(img_size, root=dataset.root))
         else:
             dataset = ImageBytesDataset.from_path(
                 self.args.data_path, crop_size=img_size
             )
         return dataset
 
-    def dataset_cache_path(self, size):
+    def dataset_cache_path(self, size, root=None):
         import hashlib
-        root_hash = hashlib.md5(self.dataset.root.encode("utf-8")).hexdigest()
+        root = root if root is not None else self.dataset.root
+        root_hash = hashlib.md5(root.encode("utf-8")).hexdigest()
         return self.args.dataset_cache.format(root=root_hash, size=size)
 
     # ------------------------------------------------------------ train loop
