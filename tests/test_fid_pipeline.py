@@ -47,3 +47,10 @@ def test_moments_and_fid_closure(tmp_path, rng, small_net, monkeypatch):
     assert np.isfinite(fid)
     # samples drawn from the same distribution => small FID
     assert fid < 50.0
+
+    # ordering sanity: a very different distribution must score worse
+    def noise_fn():
+        return rng.uniform(-1.0, 1.0, (8, 32, 32, 3)).astype(np.float32)
+
+    _, _, fid_noise = get_metrics(noise_fn, 16, num_splits=2)
+    assert fid_noise > fid
