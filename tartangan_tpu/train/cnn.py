@@ -32,13 +32,18 @@ from .trainer import Trainer
 
 
 def make_cnn_train_step(g, d, opt_g, opt_d, *, latent_dims, grad_penalty,
-                        ema_factor, dtype, sample_z=None, g_rng_name=None):
+                        ema_factor, dtype, sample_z=None, g_rng_name=None,
+                        iters_d: int = 1):
     """Build the fused CNN GAN step: (state, uint8 batch, rng) -> (state,
     metrics). Mirrors reference trainers/cnn.py:107-156.
 
     ``sample_z(key, n)`` overrides latent sampling (e.g. InfoGAN codes);
     ``g_rng_name`` names an extra rng collection threaded into G applies
-    (the scene generator's patch noise)."""
+    (the scene generator's patch noise); ``iters_d`` runs N discriminator
+    updates per generator update (the reference base trainer's intent at
+    trainer.py:131 — broken there because no parser defines iters_d) —
+    statically unrolled, each with fresh fakes.
+    """
     if sample_z is None:
         def sample_z(key, n):
             return jax.random.normal(key, (n, latent_dims), jnp.float32)
@@ -49,39 +54,48 @@ def make_cnn_train_step(g, d, opt_g, opt_d, *, latent_dims, grad_penalty,
     def train_step(state, batch_u8, rng):
         batch_size = batch_u8.shape[0]
         real = normalize_batch(batch_u8, dtype)
-        rng_zd, rng_zg, k_g1, k_g2 = jax.random.split(rng, 4)
+        rng_zg, k_g2, *d_keys = jax.random.split(rng, 2 + 2 * iters_d)
 
-        # ---- D step (cnn.py:113-137)
-        z = sample_z(rng_zd, batch_size)
-        fake, g_stats1 = apply_model(g, state.g_params, state.g_stats, z,
-                                     rngs=g_rngs(k_g1))
-        fake = jax.lax.stop_gradient(fake)
+        d_params = state.d_params
+        d_stats = state.d_stats
+        opt_d_state = state.opt_d
+        g_stats1 = state.g_stats
+        d_total = gp = jnp.float32(0.0)
+        for it in range(iters_d):
+            # ---- D step (cnn.py:113-137)
+            z = sample_z(d_keys[2 * it], batch_size)
+            fake, g_stats1 = apply_model(
+                g, state.g_params, g_stats1, z,
+                rngs=g_rngs(d_keys[2 * it + 1]))
+            fake = jax.lax.stop_gradient(fake)
 
-        def d_loss_fn(d_params):
-            def d_real_sum(x):
-                logits, stats = apply_model(d, d_params, state.d_stats, x)
-                return jnp.sum(logits.astype(jnp.float32)), (logits, stats)
+            def d_loss_fn(d_params, d_stats=d_stats, fake=fake):
+                def d_real_sum(x):
+                    logits, stats = apply_model(d, d_params, d_stats, x)
+                    return (jnp.sum(logits.astype(jnp.float32)),
+                            (logits, stats))
 
-            if grad_penalty:
-                grads_x, (p_real, d_stats1) = jax.grad(
-                    d_real_sum, has_aux=True)(real)
-                gp = jnp.mean(jnp.sum(
-                    jnp.square(grads_x.astype(jnp.float32)).reshape(
-                        batch_size, -1), axis=1))
-            else:
-                _, (p_real, d_stats1) = d_real_sum(real)
-                gp = jnp.float32(0.0)
-            p_fake, d_stats2 = apply_model(d, d_params, d_stats1, fake)
-            p_all = jnp.concatenate([p_real, p_fake], axis=0)
-            loss = bce_with_logits(p_all, bce_labels(batch_size))
-            total = loss + grad_penalty * gp
-            return total, (d_stats2, gp)
+                if grad_penalty:
+                    grads_x, (p_real, d_stats1) = jax.grad(
+                        d_real_sum, has_aux=True)(real)
+                    gp = jnp.mean(jnp.sum(
+                        jnp.square(grads_x.astype(jnp.float32)).reshape(
+                            batch_size, -1), axis=1))
+                else:
+                    _, (p_real, d_stats1) = d_real_sum(real)
+                    gp = jnp.float32(0.0)
+                p_fake, d_stats2 = apply_model(d, d_params, d_stats1, fake)
+                p_all = jnp.concatenate([p_real, p_fake], axis=0)
+                loss = bce_with_logits(p_all, bce_labels(batch_size))
+                total = loss + grad_penalty * gp
+                return total, (d_stats2, gp)
 
-        (d_total, (d_stats2, gp)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.d_params)
-        d_updates, opt_d_state = opt_d.update(
-            d_grads, state.opt_d, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+            (d_total, (d_stats, gp)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(d_params)
+            d_updates, opt_d_state = opt_d.update(
+                d_grads, opt_d_state, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+        d_stats2 = d_stats
 
         # ---- G step (cnn.py:140-149)
         z2 = sample_z(rng_zg, batch_size)
@@ -203,6 +217,7 @@ class CNNTrainer(Trainer):
             grad_penalty=self.args.grad_penalty,
             ema_factor=self.args.lr_target_g,
             dtype=self.dtype,
+            iters_d=self.args.iters_d,
         )
 
 

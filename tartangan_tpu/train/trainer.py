@@ -372,6 +372,8 @@ class Trainer:
                        help="Capture a JAX device trace into this directory")
         p.add_argument("--timing", action="store_true",
                        help="Log images/sec throughput to the metrics logs")
+        p.add_argument("--iters-d", type=int, default=1,
+                       help="Discriminator updates per generator update")
         p.add_argument("--remat", action="store_true",
                        help="Rematerialize residual blocks in the backward "
                             "pass (saves HBM at high resolutions)")
