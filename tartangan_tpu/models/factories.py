@@ -7,7 +7,6 @@ discriminator blocks are constructed.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any
 
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ folded (N*P) batch axis.
 """
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import flax.linen as nn
 import jax

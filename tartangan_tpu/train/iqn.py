@@ -17,7 +17,6 @@ from ..models.pluggan import IQNDiscriminator
 from .cnn import CNNTrainer
 from .common import apply_model, ema_update, normalize_batch
 from .state import GANTrainState
-from .trainer import Trainer
 
 
 def make_iqn_train_step(g, d, opt_g, opt_d, *, latent_dims, grad_penalty,

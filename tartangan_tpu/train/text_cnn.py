@@ -24,11 +24,9 @@ from .common import (
     bce_labels,
     ema_update,
     make_adam,
-    normalize_batch,  # noqa: F401  (unused here; text data is embedded)
     selu_reinit,
 )
 from .state import TextGANTrainState
-from .trainer import Trainer
 
 
 def _window_slices(indexes, offsets, window_size):

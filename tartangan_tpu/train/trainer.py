@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..configs import GAN_CONFIGS
 from ..data.image_bytes import ImageBytesDataset
 from ..data.image_folder import ImageFolderDataset
 from ..data.prefetch import EpochBatcher, prefetch_to_device
