@@ -83,3 +83,14 @@ def test_web_export_roundtrip(trained_run, tmp_path):
     z = np.zeros((1, 100), np.float32)
     imgs = exported.call(z)
     assert imgs.shape == (1, 16, 16, 3)
+
+
+def test_continuous_interp_tiled(trained_run, tmp_path):
+    from tartangan_tpu.explore.continuous_interp import ContinuousInterp
+    out = tmp_path / "ci_tile" / "img"
+    app = ContinuousInterp(ContinuousInterp.parse_cli_args(
+        [trained_run, str(out), "--output-size", "24",
+         "--num-points", "6", "--tile"]))
+    app.run()
+    import os
+    assert os.path.exists(f"{out}_combined.png")

@@ -38,3 +38,19 @@ def test_kubeflow_json(tmp_path):
     by_name = {m["name"]: m["numberValue"] for m in data["metrics"]}
     assert by_name["d-loss"] == 1.5
     assert by_name["fid"] == 42.0
+
+
+def test_tensorboard_component(tmp_path):
+    import os
+    from tartangan_tpu.train.components.metrics.tensorboard import (
+        TensorboardComponent,
+    )
+    args = SimpleNamespace(metrics_path=str(tmp_path / "tb"))
+    comp = TensorboardComponent(args)
+    comp.trainer = SimpleNamespace(run_id="run", __class__=type("T", (), {}))
+    comp.trainer.run_id = "run"
+    comp.on_train_begin(0, _logs())
+    comp.on_batch_end(1, _logs())
+    comp.summary_writer.flush()
+    event_dirs = os.listdir(tmp_path / "tb" / "run")
+    assert event_dirs  # event files written
