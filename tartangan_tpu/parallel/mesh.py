@@ -16,14 +16,42 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def make_mesh(num_devices: int | None = None, axis_name: str = DATA_AXIS) -> Mesh:
-    """1-D data-parallel mesh over the first ``num_devices`` devices."""
+def make_mesh(num_devices: int | None = None, axis_name: str = DATA_AXIS,
+              tp: int = 1) -> Mesh:
+    """Device mesh. ``tp=1``: 1-D data-parallel mesh. ``tp>1``: 2-D
+    (data, model) mesh — the model axis shards output-channel dims of the
+    weight tensors (tensor parallelism) while the data axis shards the
+    batch."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
-    return Mesh(np.array(devices), (axis_name,))
+    if tp <= 1:
+        return Mesh(np.array(devices), (axis_name,))
+    assert len(devices) % tp == 0, (len(devices), tp)
+    grid = np.array(devices).reshape(len(devices) // tp, tp)
+    return Mesh(grid, (axis_name, MODEL_AXIS))
+
+
+def param_sharding(tree, mesh: Mesh, axis_name: str = MODEL_AXIS):
+    """Tensor-parallel placement for a parameter/optimizer pytree: shard the
+    trailing (output-feature) dim of every rank>=2 tensor over the model
+    axis when divisible; replicate everything else. XLA/GSPMD inserts the
+    all-gathers/reduce-scatters the partitioned convs need."""
+    if axis_name not in mesh.axis_names:
+        return jax.device_put(tree, NamedSharding(mesh, P()))
+    tp = mesh.shape[axis_name]
+
+    def place(leaf):
+        if getattr(leaf, "ndim", 0) >= 2 and leaf.shape[-1] % tp == 0:
+            spec = P(*([None] * (leaf.ndim - 1)), axis_name)
+        else:
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(place, tree)
 
 
 def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:

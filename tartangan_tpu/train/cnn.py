@@ -174,7 +174,7 @@ class CNNTrainer(Trainer):
                 opt_g=self.opt_g.init(g_params),
                 opt_d=self.opt_d.init(d_params),
             )
-        self.state = self.put_replicated(state)
+        self.state = self.put_state(state)
 
         self._train_step = jax.jit(
             self.make_train_step(), donate_argnums=(0,))

@@ -218,7 +218,7 @@ class TextCNNTrainer(CNNTrainer):
             emb_params=emb_vars["params"],
             opt_emb=self.opt_emb.init(emb_vars["params"]),
         )
-        self.state = self.put_replicated(state)
+        self.state = self.put_state(state)
         self.pretraining_embedding = args.pretrain_embedding
 
         embed_step, full_step = make_text_train_steps(

@@ -31,6 +31,7 @@ from ..data.prefetch import EpochBatcher, prefetch_to_device
 from ..parallel.mesh import (
     data_sharding,
     make_mesh,
+    param_sharding,
     replicated_sharding,
 )
 from ..utils.cli import save_cli_arguments, type_or_none
@@ -77,8 +78,8 @@ class Trainer:
         self.steps = 0
         self.epoch = 1
 
-        # device topology
-        self.mesh = make_mesh(args.num_devices)
+        # device topology: 1-D data mesh, or 2-D (data, model) with --tp
+        self.mesh = make_mesh(args.num_devices, tp=getattr(args, 'tp', 1))
         self.dtype = resolve_dtype(args.dtype)
         self._batch_sharding = data_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
@@ -258,6 +259,14 @@ class Trainer:
     def put_replicated(self, tree):
         return jax.device_put(tree, self._replicated)
 
+    def put_state(self, tree):
+        """Place the train state on the mesh: replicated under pure data
+        parallelism; with --tp, weight tensors shard their output-feature
+        dim over the model axis (tensor parallelism via GSPMD)."""
+        if getattr(self.args, "tp", 1) > 1:
+            return param_sharding(tree, self.mesh)
+        return self.put_replicated(tree)
+
     def init_device(self):
         """Context manager pinning model init to the CPU backend — eager
         init through a TPU AOT compiler costs minutes; the resulting
@@ -382,6 +391,9 @@ class Trainer:
                        help="Compute dtype (params always f32)")
         p.add_argument("--num-devices", type=type_or_none(int), default=None,
                        help="Devices in the data mesh (default: all)")
+        p.add_argument("--tp", type=int, default=1,
+                       help="Tensor-parallel degree: shard weight output "
+                            "channels over a 2-D (data, model) mesh")
         p.add_argument("--seed", type=int, default=0)
         p.add_argument("--ema-start", default="copy",
                        choices=["copy", "reference"],
