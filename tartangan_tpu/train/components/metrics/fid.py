@@ -33,7 +33,9 @@ class FIDComponent(FileBasedMetricsComponent):
         trainer = self.trainer
 
         def sample_fn():
-            return np.asarray(trainer.sample_g(), np.float32)
+            # stays on device: the Inception wrapper consumes jax arrays
+            # directly, so generated batches never round-trip through host
+            return trainer.sample_g()
 
         is_mean, is_std, fid = self.get_inception_metrics(
             sample_fn, self.trainer.args.n_inception_imgs, num_splits=5)
