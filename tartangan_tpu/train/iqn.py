@@ -20,9 +20,11 @@ from .state import GANTrainState
 
 
 def make_iqn_train_step(g, d, opt_g, opt_d, *, latent_dims, grad_penalty,
-                        ema_factor, dtype):
+                        ema_factor, dtype, iters_d: int = 1):
     """(state, uint8 batch, rng) -> (state, metrics).
-    Mirrors reference trainers/iqn.py:104-147."""
+    Mirrors reference trainers/iqn.py:104-147. ``iters_d`` statically
+    unrolls N discriminator updates (fresh fakes + taus each) per generator
+    update, as the reference base loop intends (trainer.py:131)."""
 
     def d_apply(d_params, d_stats, x, targets, key):
         (pred, loss), new_stats = apply_model(
@@ -33,40 +35,50 @@ def make_iqn_train_step(g, d, opt_g, opt_d, *, latent_dims, grad_penalty,
     def train_step(state, batch_u8, rng):
         batch_size = batch_u8.shape[0]
         real = normalize_batch(batch_u8, dtype)
-        rng_zd, rng_zg, k_real, k_fake, k_gen = jax.random.split(rng, 5)
+        rng_zg, k_gen, *d_keys = jax.random.split(rng, 2 + 3 * iters_d)
         ones = jnp.ones((batch_size, 1), jnp.float32)
         zeros = jnp.zeros((batch_size, 1), jnp.float32)
 
-        # ---- D step (iqn.py:108-129)
-        z = jax.random.normal(rng_zd, (batch_size, latent_dims), jnp.float32)
-        fake, g_stats1 = apply_model(g, state.g_params, state.g_stats, z)
-        fake = jax.lax.stop_gradient(fake)
+        d_params = state.d_params
+        d_stats = state.d_stats
+        opt_d_state = state.opt_d
+        g_stats1 = state.g_stats
+        d_total = gp = jnp.float32(0.0)
+        for it in range(iters_d):
+            # ---- D step (iqn.py:108-129)
+            rng_zd, k_real, k_fake = d_keys[3 * it:3 * it + 3]
+            z = jax.random.normal(
+                rng_zd, (batch_size, latent_dims), jnp.float32)
+            fake, g_stats1 = apply_model(g, state.g_params, g_stats1, z)
+            fake = jax.lax.stop_gradient(fake)
 
-        def d_loss_fn(d_params):
-            def d_real_sum(x):
-                pred, loss_r, stats = d_apply(
-                    d_params, state.d_stats, x, ones, k_real)
-                return jnp.sum(pred.astype(jnp.float32)), (loss_r, stats)
+            def d_loss_fn(d_params, d_stats=d_stats, fake=fake,
+                          k_real=k_real, k_fake=k_fake):
+                def d_real_sum(x):
+                    pred, loss_r, stats = d_apply(
+                        d_params, d_stats, x, ones, k_real)
+                    return jnp.sum(pred.astype(jnp.float32)), (loss_r, stats)
 
-            if grad_penalty:
-                grads_x, (loss_real, d_stats1) = jax.grad(
-                    d_real_sum, has_aux=True)(real)
-                gp = jnp.mean(jnp.sum(
-                    jnp.square(grads_x.astype(jnp.float32)).reshape(
-                        batch_size, -1), axis=1))
-            else:
-                _, (loss_real, d_stats1) = d_real_sum(real)
-                gp = jnp.float32(0.0)
-            _, loss_fake, d_stats2 = d_apply(
-                d_params, d_stats1, fake, zeros, k_fake)
-            total = loss_real + loss_fake + grad_penalty * gp
-            return total, (d_stats2, gp)
+                if grad_penalty:
+                    grads_x, (loss_real, d_stats1) = jax.grad(
+                        d_real_sum, has_aux=True)(real)
+                    gp = jnp.mean(jnp.sum(
+                        jnp.square(grads_x.astype(jnp.float32)).reshape(
+                            batch_size, -1), axis=1))
+                else:
+                    _, (loss_real, d_stats1) = d_real_sum(real)
+                    gp = jnp.float32(0.0)
+                _, loss_fake, d_stats2 = d_apply(
+                    d_params, d_stats1, fake, zeros, k_fake)
+                total = loss_real + loss_fake + grad_penalty * gp
+                return total, (d_stats2, gp)
 
-        (d_total, (d_stats2, gp)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.d_params)
-        d_updates, opt_d_state = opt_d.update(
-            d_grads, state.opt_d, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+            (d_total, (d_stats, gp)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(d_params)
+            d_updates, opt_d_state = opt_d.update(
+                d_grads, opt_d_state, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+        d_stats2 = d_stats
 
         # ---- G step (iqn.py:131-140)
         z2 = jax.random.normal(rng_zg, (batch_size, latent_dims), jnp.float32)
@@ -121,6 +133,7 @@ class IQNTrainer(CNNTrainer):
             grad_penalty=self.args.grad_penalty,
             ema_factor=self.args.lr_target_g,
             dtype=self.dtype,
+            iters_d=self.args.iters_d,
         )
 
 
