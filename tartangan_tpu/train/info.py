@@ -34,8 +34,11 @@ def sample_info_z(rng, n, latent_dims, cat_dims):
 
 
 def make_info_train_step(g, d, opt_g, opt_d, *, latent_dims, cat_dims,
-                         cont_dims, info_w, grad_penalty, ema_factor, dtype):
-    """Mirrors reference trainers/info.py:122-191."""
+                         cont_dims, info_w, grad_penalty, ema_factor, dtype,
+                         iters_d: int = 1):
+    """Mirrors reference trainers/info.py:122-191. ``iters_d`` statically
+    unrolls N discriminator updates (fresh codes + fakes each) per
+    generator update (reference base-loop intent, trainer.py:131)."""
 
     def cat_code(v):
         return v[..., :cat_dims]
@@ -55,41 +58,49 @@ def make_info_train_step(g, d, opt_g, opt_d, *, latent_dims, cat_dims,
     def train_step(state, batch_u8, rng):
         batch_size = batch_u8.shape[0]
         real = normalize_batch(batch_u8, dtype)
-        rng_zd, rng_zg = jax.random.split(rng)
+        rng_zg, *d_keys = jax.random.split(rng, 1 + iters_d)
 
-        # ---- D step (info.py:122-158)
-        z = sample_info_z(rng_zd, batch_size, latent_dims, cat_dims)
-        fake, g_stats1 = apply_model(g, state.g_params, state.g_stats, z)
-        fake = jax.lax.stop_gradient(fake)
+        d_params = state.d_params
+        d_stats = state.d_stats
+        opt_d_state = state.opt_d
+        g_stats1 = state.g_stats
+        d_total = gp = d_code_loss = jnp.float32(0.0)
+        for it in range(iters_d):
+            # ---- D step (info.py:122-158)
+            z = sample_info_z(d_keys[it], batch_size, latent_dims, cat_dims)
+            fake, g_stats1 = apply_model(g, state.g_params, g_stats1, z)
+            fake = jax.lax.stop_gradient(fake)
 
-        def d_loss_fn(d_params):
-            def d_real_sum(x):
-                (logits, _codes), stats = apply_model(
-                    d, d_params, state.d_stats, x)
-                return jnp.sum(logits.astype(jnp.float32)), (logits, stats)
+            def d_loss_fn(d_params, d_stats=d_stats, fake=fake, z=z):
+                def d_real_sum(x):
+                    (logits, _codes), stats = apply_model(
+                        d, d_params, d_stats, x)
+                    return jnp.sum(logits.astype(jnp.float32)), (logits,
+                                                                 stats)
 
-            if grad_penalty:
-                grads_x, (p_real, d_stats1) = jax.grad(
-                    d_real_sum, has_aux=True)(real)
-                gp = jnp.mean(jnp.sum(
-                    jnp.square(grads_x.astype(jnp.float32)).reshape(
-                        batch_size, -1), axis=1))
-            else:
-                _, (p_real, d_stats1) = d_real_sum(real)
-                gp = jnp.float32(0.0)
-            (p_fake, p_codes), d_stats2 = apply_model(
-                d, d_params, d_stats1, fake)
-            p_all = jnp.concatenate([p_real, p_fake], axis=0)
-            adv = bce_with_logits(p_all, bce_labels(batch_size))
-            d_code_loss = code_loss(p_codes, z)
-            total = adv + info_w * d_code_loss + grad_penalty * gp
-            return total, (d_stats2, gp, d_code_loss)
+                if grad_penalty:
+                    grads_x, (p_real, d_stats1) = jax.grad(
+                        d_real_sum, has_aux=True)(real)
+                    gp = jnp.mean(jnp.sum(
+                        jnp.square(grads_x.astype(jnp.float32)).reshape(
+                            batch_size, -1), axis=1))
+                else:
+                    _, (p_real, d_stats1) = d_real_sum(real)
+                    gp = jnp.float32(0.0)
+                (p_fake, p_codes), d_stats2 = apply_model(
+                    d, d_params, d_stats1, fake)
+                p_all = jnp.concatenate([p_real, p_fake], axis=0)
+                adv = bce_with_logits(p_all, bce_labels(batch_size))
+                d_code_loss = code_loss(p_codes, z)
+                total = adv + info_w * d_code_loss + grad_penalty * gp
+                return total, (d_stats2, gp, d_code_loss)
 
-        (d_total, (d_stats2, gp, d_code_loss)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.d_params)
-        d_updates, opt_d_state = opt_d.update(
-            d_grads, state.opt_d, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+            (d_total, (d_stats, gp, d_code_loss)), d_grads = (
+                jax.value_and_grad(d_loss_fn, has_aux=True)(d_params))
+            d_updates, opt_d_state = opt_d.update(
+                d_grads, opt_d_state, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+        d_stats2 = d_stats
 
         # ---- G step (info.py:160-183)
         z2 = sample_info_z(rng_zg, batch_size, latent_dims, cat_dims)
@@ -148,6 +159,7 @@ class InfoTrainer(CNNTrainer):
             grad_penalty=self.args.grad_penalty,
             ema_factor=self.args.lr_target_g,
             dtype=self.dtype,
+            iters_d=self.args.iters_d,
         )
 
     def sample_z(self, n=None):

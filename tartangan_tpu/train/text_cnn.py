@@ -37,9 +37,12 @@ def _window_slices(indexes, offsets, window_size):
 
 
 def make_text_train_steps(g, d, emb, opt_g, opt_d, opt_emb, *, latent_dims,
-                          context, grad_penalty, ema_factor, dtype):
+                          context, grad_penalty, ema_factor, dtype,
+                          iters_d: int = 1):
     """Returns (embed_step, full_step); both (state, int32 batch, rng) ->
-    (state, metrics). Mirrors reference text_cnn.py:157-231."""
+    (state, metrics). Mirrors reference text_cnn.py:157-231. ``iters_d``
+    statically unrolls N discriminator updates (fresh fakes each) per
+    generator update in the full step (reference trainer.py:131)."""
     window_size = 2 * context + 1
 
     def embedding_update(state, indexes, rng):
@@ -74,7 +77,7 @@ def make_text_train_steps(g, d, emb, opt_g, opt_d, opt_emb, *, latent_dims,
                            "embedding_loss": emb_loss}
 
     def full_step(state, indexes, rng):
-        rng_emb, rng_zd, rng_zg = jax.random.split(rng, 3)
+        rng_emb, rng_zg, *d_keys = jax.random.split(rng, 2 + iters_d)
         emb_params, opt_emb_state, emb_loss = embedding_update(
             state, indexes, rng_emb)
 
@@ -83,35 +86,44 @@ def make_text_train_steps(g, d, emb, opt_g, opt_d, opt_emb, *, latent_dims,
             emb.apply({"params": emb_params}, indexes)).astype(dtype)
         batch_size = real.shape[0]
 
-        # ---- D step
-        z = jax.random.normal(rng_zd, (batch_size, latent_dims), jnp.float32)
-        fake, g_stats1 = apply_model(g, state.g_params, state.g_stats, z)
-        fake = jax.lax.stop_gradient(fake)
+        d_params = state.d_params
+        d_stats = state.d_stats
+        opt_d_state = state.opt_d
+        g_stats1 = state.g_stats
+        d_total = gp = jnp.float32(0.0)
+        for it in range(iters_d):
+            # ---- D step
+            z = jax.random.normal(
+                d_keys[it], (batch_size, latent_dims), jnp.float32)
+            fake, g_stats1 = apply_model(g, state.g_params, g_stats1, z)
+            fake = jax.lax.stop_gradient(fake)
 
-        def d_loss_fn(d_params):
-            def d_real_sum(x):
-                logits, stats = apply_model(d, d_params, state.d_stats, x)
-                return jnp.sum(logits.astype(jnp.float32)), (logits, stats)
+            def d_loss_fn(d_params, d_stats=d_stats, fake=fake):
+                def d_real_sum(x):
+                    logits, stats = apply_model(d, d_params, d_stats, x)
+                    return jnp.sum(logits.astype(jnp.float32)), (logits,
+                                                                 stats)
 
-            if grad_penalty:
-                grads_x, (p_real, d_stats1) = jax.grad(
-                    d_real_sum, has_aux=True)(real)
-                gp = jnp.mean(jnp.sum(
-                    jnp.square(grads_x.astype(jnp.float32)).reshape(
-                        batch_size, -1), axis=1))
-            else:
-                _, (p_real, d_stats1) = d_real_sum(real)
-                gp = jnp.float32(0.0)
-            p_fake, d_stats2 = apply_model(d, d_params, d_stats1, fake)
-            p_all = jnp.concatenate([p_real, p_fake], axis=0)
-            loss = bce_with_logits(p_all, bce_labels(batch_size))
-            return loss + grad_penalty * gp, (d_stats2, gp)
+                if grad_penalty:
+                    grads_x, (p_real, d_stats1) = jax.grad(
+                        d_real_sum, has_aux=True)(real)
+                    gp = jnp.mean(jnp.sum(
+                        jnp.square(grads_x.astype(jnp.float32)).reshape(
+                            batch_size, -1), axis=1))
+                else:
+                    _, (p_real, d_stats1) = d_real_sum(real)
+                    gp = jnp.float32(0.0)
+                p_fake, d_stats2 = apply_model(d, d_params, d_stats1, fake)
+                p_all = jnp.concatenate([p_real, p_fake], axis=0)
+                loss = bce_with_logits(p_all, bce_labels(batch_size))
+                return loss + grad_penalty * gp, (d_stats2, gp)
 
-        (d_total, (d_stats2, gp)), d_grads = jax.value_and_grad(
-            d_loss_fn, has_aux=True)(state.d_params)
-        d_updates, opt_d_state = opt_d.update(
-            d_grads, state.opt_d, state.d_params)
-        d_params = optax.apply_updates(state.d_params, d_updates)
+            (d_total, (d_stats, gp)), d_grads = jax.value_and_grad(
+                d_loss_fn, has_aux=True)(d_params)
+            d_updates, opt_d_state = opt_d.update(
+                d_grads, opt_d_state, d_params)
+            d_params = optax.apply_updates(d_params, d_updates)
+        d_stats2 = d_stats
 
         # ---- G step
         z2 = jax.random.normal(rng_zg, (batch_size, latent_dims), jnp.float32)
@@ -226,7 +238,7 @@ class TextCNNTrainer(CNNTrainer):
             self.opt_g, self.opt_d, self.opt_emb,
             latent_dims=cfg.latent_dims, context=args.context,
             grad_penalty=args.grad_penalty, ema_factor=args.lr_target_g,
-            dtype=dtype,
+            dtype=dtype, iters_d=args.iters_d,
         )
         self._embed_step = jax.jit(embed_step, donate_argnums=(0,))
         self._full_step = jax.jit(full_step, donate_argnums=(0,))
