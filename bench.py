@@ -1,6 +1,11 @@
 """Headline benchmark: images/sec of config-'128' SA-GAN training.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+``value`` is the MEDIAN of ``--repeats`` timing windows over the same
+compiled step (the TPU relay adds run-to-run jitter; a single window is
+not reproducible); ``min``/``max`` report the dispersion, and
+``e2e_img_s`` carries the full host-pipeline throughput measured in the
+same process unless ``--no-e2e`` is given.
 
 ``vs_baseline`` compares against the measured PyTorch-reference throughput
 for the identical workload (BASELINE.md: the reference publishes no numbers,
@@ -8,20 +13,26 @@ so the baseline must be measured — ``python bench_baseline.py`` reproduces
 the reference's train_batch in torch and writes BASELINE_MEASURED.json;
 note it measures torch-CPU since this host has no CUDA device).
 
-Flags: --config/--batch-size/--steps select the workload;
---end-to-end times the full Trainer loop (host pipeline + prefetch +
-device step) on a synthetic tartan archive instead of the bare step.
+Flags: --config/--batch-size/--steps/--repeats select the workload;
+--end-to-end makes the full-Trainer-loop number (host pipeline + prefetch +
+device step) the headline metric instead of the bare fused step.
 """
 from __future__ import annotations
 
 import argparse
 import json
 import os
+import statistics
 import time
 
 
-def measure_step(config="128", batch_size=128, steps=50, warmup=5):
-    """Time the bare fused train step (device-bound ceiling)."""
+def measure_step(config="128", batch_size=128, steps=50, warmup=5,
+                 repeats=3):
+    """Time the bare fused train step (device-bound ceiling).
+
+    Returns a list of ``repeats`` img/s values from consecutive timing
+    windows over one compiled step (compile cost excluded by warmup).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -72,18 +83,21 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5):
     rng = np.random.default_rng(0)
     batch = jax.device_put(rng.integers(
         0, 256, (batch_size, cfg.max_size, cfg.max_size, 3), dtype=np.uint8))
-    keys = [jax.random.PRNGKey(i) for i in range(steps + warmup)]
+    keys = [jax.random.PRNGKey(i) for i in range(steps * repeats + warmup)]
 
     for i in range(warmup):
         state, metrics = step(state, batch, keys[i])
     jax.block_until_ready(metrics["g_loss"])
 
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = step(state, batch, keys[warmup + i])
-    jax.block_until_ready(metrics["g_loss"])
-    dt = time.perf_counter() - t0
-    return batch_size * steps / dt
+    values = []
+    for r in range(repeats):
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, metrics = step(state, batch, keys[warmup + r * steps + i])
+        jax.block_until_ready(metrics["g_loss"])
+        dt = time.perf_counter() - t0
+        values.append(batch_size * steps / dt)
+    return values
 
 
 def measure_end_to_end(config="128", batch_size=128, steps=60):
@@ -110,8 +124,6 @@ def measure_end_to_end(config="128", batch_size=128, steps=60):
         ])
         trainer.build_models()
         trainer.dataset = trainer.prepare_dataset()
-        from collections import defaultdict
-
         import jax
 
         from tartangan_tpu.data.prefetch import (
@@ -152,17 +164,28 @@ def main():
     p.add_argument("--config", default="128")
     p.add_argument("--batch-size", type=int, default=128)
     p.add_argument("--steps", type=int, default=50)
-    p.add_argument("--end-to-end", action="store_true")
+    p.add_argument("--repeats", type=int, default=3,
+                   help="Timing windows; the headline value is their median")
+    p.add_argument("--end-to-end", action="store_true",
+                   help="Make the full-pipeline number the headline metric")
+    p.add_argument("--no-e2e", action="store_true",
+                   help="Skip the end-to-end companion measurement")
     args = p.parse_args()
 
+    extra = {}
     if args.end_to_end:
         value = measure_end_to_end(args.config, args.batch_size, args.steps)
         metric = f"images_per_sec_{args.config}px_sagan_train_e2e"
     else:
-        value = measure_step(args.config, args.batch_size, args.steps)
-        metric = "images_per_sec_128px_sagan_train" \
-            if args.config == "128" \
-            else f"images_per_sec_{args.config}px_sagan_train"
+        values = measure_step(args.config, args.batch_size, args.steps,
+                              repeats=max(args.repeats, 1))
+        value = statistics.median(values)
+        metric = f"images_per_sec_{args.config}px_sagan_train"
+        extra = {"min": round(min(values), 2), "max": round(max(values), 2),
+                 "runs": len(values)}
+        if not args.no_e2e:
+            extra["e2e_img_s"] = round(measure_end_to_end(
+                args.config, args.batch_size, steps=60), 2)
     baseline = load_baseline()
     vs = (value / baseline) if baseline else None
     print(json.dumps({
@@ -170,6 +193,7 @@ def main():
         "value": round(value, 2),
         "unit": "img/s",
         "vs_baseline": round(vs, 2) if vs is not None else None,
+        **extra,
     }))
 
 

@@ -79,10 +79,12 @@ def inception_score(probs: np.ndarray, num_splits: int = 10):
     return float(np.mean(scores)), float(np.std(scores))
 
 
-def prepare_inception_metrics(moments_path, dtype=None, no_fid: bool = False):
+def prepare_inception_metrics(moments_path, dtype=None, no_fid: bool = False,
+                              weights=None):
     """Load the dataset moments and return a closure
     ``get_inception_metrics(sample_fn, num_images, num_splits, use_jax)``
-    -> (IS_mean, IS_std, FID) (reference inception_utils.py:285-328)."""
+    -> (IS_mean, IS_std, FID) (reference inception_utils.py:285-328).
+    ``weights`` optionally names a ported Inception-weights npz."""
     import jax.numpy as jnp
 
     from ..utils.fs import smart_open
@@ -93,7 +95,7 @@ def prepare_inception_metrics(moments_path, dtype=None, no_fid: bool = False):
         data_mu = np.asarray(data["mu"])
         data_sigma = np.asarray(data["sigma"])
 
-    net = InceptionWrapper(dtype=dtype or jnp.float32)
+    net = InceptionWrapper(dtype=dtype or jnp.float32, weights=weights)
 
     def get_inception_metrics(sample_fn, num_inception_images,
                               num_splits=10, prints=False, use_jax=True):

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.inception import init_inception, try_load_pretrained
+from ..models.inception import init_inception, resolve_pretrained
 from ..ops.resize import resize_bilinear
 
 VGG_MEAN = np.array([0.485, 0.456, 0.406], np.float32)
@@ -26,12 +26,22 @@ VGG_STD = np.array([0.229, 0.224, 0.225], np.float32)
 
 
 class InceptionWrapper:
-    """Callable (B,H,W,3) in [-1,1] -> (pool (B,2048) f32, softmax logits)."""
+    """Callable (B,H,W,3) in [-1,1] -> (pool (B,2048) f32, softmax logits).
 
-    def __init__(self, dtype=jnp.float32, pretrained: bool = True):
+    ``weights`` names a ported-weights npz (see
+    ``tartangan_tpu.eval.port_weights``); when omitted the
+    TARTANGAN_INCEPTION_WEIGHTS env var and a local torchvision install are
+    tried before falling back to random init (``self.pretrained`` records
+    which happened — FID from a random-init Inception is NOT comparable to
+    published numbers).
+    """
+
+    def __init__(self, dtype=jnp.float32, pretrained: bool = True,
+                 weights: str | None = None):
         self.model, variables = init_inception(dtype=dtype)
         if pretrained:
-            variables, self.pretrained = try_load_pretrained(variables)
+            variables, self.pretrained = resolve_pretrained(
+                variables, weights_path=weights)
         else:
             self.pretrained = False
         self.variables = variables

@@ -53,12 +53,21 @@ def main(argv=None):
     p.add_argument("destination", help="Output npz location")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--quiet-logs", action="store_true")
+    p.add_argument("--inception-weights", default=None,
+                   help="Ported Inception-weights npz (see "
+                        "tartangan_tpu.eval.port_weights); falls back to "
+                        "$TARTANGAN_INCEPTION_WEIGHTS")
     args = p.parse_args(argv)
 
     print(f"Loading dataset from {args.source}")
     dataset = ImageBytesDataset.from_path(args.source)
+    net = InceptionWrapper(weights=args.inception_weights)
+    if not net.pretrained:
+        print("WARNING: no pretrained Inception weights — the moments below "
+              "come from a random-init network and are not comparable to "
+              "published FID numbers")
     mu, sigma = calculate_inception_moments(
-        dataset, batch_size=args.batch_size, quiet=args.quiet_logs)
+        dataset, batch_size=args.batch_size, quiet=args.quiet_logs, net=net)
     print(f'Saving calculated means and covariances to "{args.destination}"')
     with smart_open(args.destination, "wb") as outfile:
         np.savez(outfile, mu=mu, sigma=sigma)

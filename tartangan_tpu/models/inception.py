@@ -276,6 +276,89 @@ def port_torch_state_dict(variables, state_dict):
     return flax.traverse_util.unflatten_dict(out, sep=".")
 
 
+def torch_key_map(variables):
+    """flax flat key ('params.Mixed_5b...conv.kernel') -> the torchvision
+    state_dict key it is ported from. The exact inverse of
+    ``port_torch_state_dict``'s mapping; used by the dump CLI and the
+    in-image port fixtures."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables, sep=".")
+    mapping = {}
+    for key in flat:
+        parts = key.split(".")
+        collection, path, leaf = parts[0], parts[1:-1], parts[-1]
+        torch_path = ".".join(path)
+        if leaf == "kernel" and path[-1] == "conv":
+            mapping[key] = f"{torch_path}.weight"
+        elif path and path[-1] == "fc":
+            mapping[key] = f"fc.{'weight' if leaf == 'kernel' else 'bias'}"
+        elif path and path[-1] == "bn":
+            if collection == "params":
+                torch_leaf = {"scale": "weight", "bias": "bias"}[leaf]
+            else:
+                torch_leaf = {"mean": "running_mean",
+                              "var": "running_var"}[leaf]
+            mapping[key] = f"{torch_path}.{torch_leaf}"
+        else:
+            raise KeyError(f"unmapped variable {key}")
+    return mapping
+
+
+def save_weights_npz(variables, path):
+    """Serialize ported Inception variables to a flat npz archive (keys are
+    '.'-joined variable paths). The format ``--inception-weights`` loads."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables, sep=".")
+    np.savez_compressed(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
+def load_weights_npz(variables, path):
+    """Load an npz written by ``save_weights_npz`` into the shape of the
+    given template ``variables`` (shape-checked leaf by leaf)."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(variables, sep=".")
+    with np.load(path) as data:
+        out = {}
+        missing = [k for k in flat if k not in data.files]
+        if missing:
+            raise KeyError(
+                f"{path} is missing {len(missing)} inception variables "
+                f"(first: {missing[0]}) — was it written by "
+                "save_weights_npz / the dump-inception-weights CLI?")
+        for key, val in flat.items():
+            arr = data[key]
+            if arr.shape != val.shape:
+                raise ValueError(
+                    f"{path}: {key} has shape {arr.shape}, "
+                    f"expected {val.shape}")
+            out[key] = jnp.asarray(arr, val.dtype)
+    return flax.traverse_util.unflatten_dict(out, sep=".")
+
+
+WEIGHTS_ENV_VAR = "TARTANGAN_INCEPTION_WEIGHTS"
+
+
+def resolve_pretrained(variables, weights_path=None):
+    """Resolve pretrained Inception weights: an explicit npz path wins,
+    then the TARTANGAN_INCEPTION_WEIGHTS env var, then a local torchvision
+    install; otherwise keep the given (random) variables.
+
+    Returns (variables, pretrained: bool). The npz path is produced by
+    ``python -m tartangan_tpu.eval.port_weights`` from any torchvision
+    inception_v3 state_dict — the weights themselves cannot be fetched in a
+    zero-egress image, so they arrive as a user-supplied artifact.
+    """
+    import os
+
+    path = weights_path or os.environ.get(WEIGHTS_ENV_VAR)
+    if path:
+        return load_weights_npz(variables, path), True
+    return try_load_pretrained(variables)
+
+
 def try_load_pretrained(variables):
     """Port torchvision's pretrained weights if they are available locally
     (zero-egress environments fall back to the given variables)."""

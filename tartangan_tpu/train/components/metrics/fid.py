@@ -19,7 +19,8 @@ class FIDComponent(FileBasedMetricsComponent):
         from ....eval.fid import prepare_inception_metrics
         print("Preparing inception metrics...")
         self.get_inception_metrics = prepare_inception_metrics(
-            self.trainer.args.inception_moments)
+            self.trainer.args.inception_moments,
+            weights=self.trainer.args.inception_weights)
 
     def on_batch_end(self, steps, logs):
         if steps and steps % self.trainer.args.fid_freq == 0:
@@ -48,6 +49,11 @@ class FIDComponent(FileBasedMetricsComponent):
         parser.add_argument("--inception-moments", type=type_or_none(str),
                             default=None,
                             help="Path to pre-calculated inception moments")
+        parser.add_argument("--inception-weights", type=type_or_none(str),
+                            default=None,
+                            help="Ported Inception-weights npz (see "
+                                 "tartangan_tpu.eval.port_weights); falls "
+                                 "back to $TARTANGAN_INCEPTION_WEIGHTS")
         parser.add_argument("--n-inception-imgs", default=1000, type=int)
         parser.add_argument("--fid-freq", default=10000, type=int,
                             help="Calculate test metrics every N batches")
