@@ -1,12 +1,14 @@
-"""Per-batch TensorBoard scalars
-(reference components/metrics/tensorboard.py:9-25)."""
-from __future__ import annotations
+"""Per-batch TensorBoard scalars, written torch-free.
 
-try:
-    from torch.utils.tensorboard import SummaryWriter
-except ImportError:  # pragma: no cover
-    SummaryWriter = None
-    print("Tensorboard not available.")
+Parity surface: reference components/metrics/tensorboard.py:9-25 (latest
+value of every logged metric emitted per batch under the trainer-class main
+tag). The reference pulls in torch's SummaryWriter; here the event file is
+produced by our own dependency-free writer (utils/tb_events.py). One
+deliberate difference: torch's ``add_scalars`` fans every tag out into its
+own sub-run directory, which multiplies file handles — all tags go into ONE
+event file as ``MainTag/metric`` scalars instead.
+"""
+from __future__ import annotations
 
 from .base import FileBasedMetricsComponent
 
@@ -15,15 +17,20 @@ class TensorboardComponent(FileBasedMetricsComponent):
     whitelist = None
 
     def on_train_begin(self, steps, logs):
+        from ....utils.tb_events import ScalarEventWriter
         metrics_path = f"{self.args.metrics_path}/{self.trainer.run_id}"
-        self.summary_writer = SummaryWriter(metrics_path)
+        self.summary_writer = ScalarEventWriter(metrics_path)
 
     def on_batch_end(self, steps, logs):
         scalars = {
-            key: float(values[-1]) for key, values in logs.items()
+            f"{self.main_tag}/{key}": float(values[-1])
+            for key, values in logs.items()
             if values and (not self.whitelist or key in self.whitelist)
         }
-        self.summary_writer.add_scalars(self.main_tag, scalars, steps)
+        self.summary_writer.add_scalars(steps, scalars)
+
+    def on_train_end(self, steps, logs):
+        self.summary_writer.close()
 
     @property
     def main_tag(self):

@@ -142,6 +142,9 @@ class Trainer:
             prev_handler = signal.signal(signal.SIGTERM, _on_sigterm)
         except ValueError:  # not on the main thread
             prev_handler = None
+        from .progress import ProgressLine
+        progress = ProgressLine(newlines=self.args.log_progress_newlines)
+        num_batches = len(self.dataset) // self.args.batch_size
         try:
             self.components.invoke("train_begin", self.steps, logs)
             while self.epoch <= self.args.epochs:
@@ -150,24 +153,23 @@ class Trainer:
                 self.components.invoke(
                     "epoch_begin", self.steps, self.epoch, logs)
                 put = lambda b: jax.device_put(b, self._batch_sharding)
-                epoch_t0 = time.time()
-                epoch_imgs = 0
+                progress.epoch_begin(self.epoch, num_batches)
+                epoch_batches = 0
                 for batch in prefetch_to_device(batcher.epoch(), put):
                     self.components.invoke("batch_begin", self.steps, logs)
                     training_metrics = self.train_batch(batch)
                     for name, value in training_metrics.items():
                         logs[name].append(value)
                     self.components.invoke("batch_end", self.steps, logs)
-                    epoch_imgs += self.args.batch_size
+                    epoch_batches += 1
                     if (not self.args.quiet_logs
                             and self.steps % self.args.log_iters == 0):
-                        shown = {k: round(float(v), 4)
-                                 for k, v in training_metrics.items()}
-                        rate = epoch_imgs / max(time.time() - epoch_t0, 1e-9)
-                        print(f"step {self.steps} "
-                              f"({rate:.1f} img/s): {shown}", flush=True)
+                        progress.update(self.steps, epoch_batches,
+                                        self.args.batch_size,
+                                        training_metrics)
                     self.steps += 1
 
+                progress.epoch_end()
                 self.components.invoke(
                     "epoch_end", self.steps, self.epoch, logs)
                 if self.epoch == 1 and self.args.cache_dataset:
@@ -369,7 +371,9 @@ class Trainer:
         p.add_argument("--log-iters", type=int, default=100,
                        help="Progress logging frequency in steps")
         p.add_argument("--log-progress-newlines", action="store_true",
-                       help="(accepted for CLI parity; logs are line-based)")
+                       help="Emit each progress refresh on its own line "
+                            "(k8s-log-friendly) instead of rewriting one "
+                            "line in place")
         p.add_argument("--metrics-collector", default=None,
                        help="Metric collector: katib, kubeflow, tensorboard")
         p.add_argument("--run-id", type=type_or_none(str), default=None,

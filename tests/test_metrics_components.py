@@ -51,6 +51,6 @@ def test_tensorboard_component(tmp_path):
     comp.trainer.run_id = "run"
     comp.on_train_begin(0, _logs())
     comp.on_batch_end(1, _logs())
-    comp.summary_writer.flush()
-    event_dirs = os.listdir(tmp_path / "tb" / "run")
-    assert event_dirs  # event files written
+    comp.on_train_end(2, _logs())
+    event_files = os.listdir(tmp_path / "tb" / "run")
+    assert event_files and event_files[0].startswith("events.out.tfevents")
