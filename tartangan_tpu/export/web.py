@@ -72,20 +72,40 @@ class WebExportApp(GOutputApp):
                              cfg.data_dims)
 
         if self.args.onnx:
-            self._export_onnx(web_forward, z_spec, out_base)
+            self._export_onnx(out_base)
 
-    def _export_onnx(self, fn, z_spec, out_base):
-        try:
-            import onnx  # noqa: F401, PLC0415
-        except ImportError:
-            print("[export] onnx not installed; skipping .onnx artifact "
-                  "(the .stablehlo artifact is the portable format here)")
-            return
-        # Placeholder for jax->onnx conversion tooling (not available in
-        # this environment); kept gated for parity with prep4web's opset-7
-        # export surface.
-        print("[export] ONNX export requires jax->onnx tooling; "
-              "not available in this environment")
+    def _export_onnx(self, out_base):
+        """Emit the ONNX artifact for the in-browser demo (web/index.html).
+
+        Uses our own ModelProto emitter (export/onnx.py) — no onnx package
+        needed. The graph bakes eval-mode BatchNorm (running stats) into
+        constants, so it matches ``g.apply(train=False)``; output layout is
+        NCHW (the browser page handles the canvas transpose)."""
+        from .onnx import export_generator
+        from .onnx_eval import evaluate
+
+        model_bytes = export_generator(
+            self.g, self.g_vars, batch_size=self.args.batch_size)
+        with open(f"{out_base}.onnx", "wb") as f:
+            f.write(model_bytes)
+        # sanity roundtrip through the numpy interpreter
+        z = np.zeros((self.args.batch_size, self.gan_config.latent_dims),
+                     np.float32)
+        out = evaluate(model_bytes, {"z": z})["image"]
+        assert out.shape == (self.args.batch_size,
+                             self.gan_config.data_dims,
+                             self.gan_config.max_size,
+                             self.gan_config.max_size)
+        print(f"wrote {out_base}.onnx ({len(model_bytes)} bytes)")
+        if self.args.page:
+            import shutil
+            page_src = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), "web", "index.html")
+            dest_dir = os.path.dirname(out_base) or "."
+            shutil.copy(page_src, os.path.join(dest_dir, "index.html"))
+            print(f"wrote {dest_dir}/index.html "
+                  "(serve the directory and open it)")
 
     @classmethod
     def add_args_to_parser(cls, p):
@@ -97,7 +117,11 @@ class WebExportApp(GOutputApp):
         p.add_argument("--no-target", action="store_true",
                        help="Export the live G instead of the EMA target G")
         p.add_argument("--onnx", action="store_true",
-                       help="Also attempt an ONNX export (needs onnx)")
+                       help="Also emit a .onnx artifact for the in-browser "
+                            "demo (self-contained emitter, no onnx package)")
+        p.add_argument("--page", action="store_true",
+                       help="With --onnx: copy the static demo page "
+                            "(web/index.html) next to the artifact")
 
 
 # reference parse: prep4web exposes `package_for_web(model, filename)`

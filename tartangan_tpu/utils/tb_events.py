@@ -22,6 +22,13 @@ import socket
 import struct
 import time
 
+from .protobuf import (
+    bytes_field as _bytes_field,
+    double_field as _double_field,
+    float_field as _float_field,
+    int_field as _varint_field,
+)
+
 # ---------------------------------------------------------------- crc32c
 _CRC_TABLE = []
 
@@ -51,36 +58,6 @@ def _masked_crc(data: bytes) -> int:
 
 
 # ------------------------------------------------------------- protobuf
-def _varint(n: int) -> bytes:
-    out = bytearray()
-    while True:
-        bits = n & 0x7F
-        n >>= 7
-        out.append(bits | (0x80 if n else 0))
-        if not n:
-            return bytes(out)
-
-
-def _field(number: int, wire_type: int) -> bytes:
-    return _varint((number << 3) | wire_type)
-
-
-def _double_field(number: int, value: float) -> bytes:
-    return _field(number, 1) + struct.pack("<d", value)
-
-
-def _float_field(number: int, value: float) -> bytes:
-    return _field(number, 5) + struct.pack("<f", value)
-
-
-def _varint_field(number: int, value: int) -> bytes:
-    return _field(number, 0) + _varint(value)
-
-
-def _bytes_field(number: int, value: bytes) -> bytes:
-    return _field(number, 2) + _varint(len(value)) + value
-
-
 def encode_scalar_event(step: int, scalars: dict, wall_time: float) -> bytes:
     """Event{wall_time, step, summary{Value{tag, simple_value}...}}."""
     summary = b"".join(

@@ -74,7 +74,7 @@ def test_web_export_roundtrip(trained_run, tmp_path):
     from tartangan_tpu.export.web import WebExportApp
     out = tmp_path / "web" / "ttgan"
     app = WebExportApp(WebExportApp.parse_cli_args(
-        [trained_run, "--output", str(out)]))
+        [trained_run, "--output", str(out), "--onnx", "--page"]))
     app.run()
     assert os.path.exists(f"{out}.stablehlo")
     assert os.path.exists(f"{out}.json")
@@ -83,6 +83,14 @@ def test_web_export_roundtrip(trained_run, tmp_path):
     z = np.zeros((1, 100), np.float32)
     imgs = exported.call(z)
     assert imgs.shape == (1, 16, 16, 3)
+    # --onnx emits the browser artifact; --page drops the demo next to it
+    assert os.path.exists(f"{out}.onnx")
+    assert os.path.exists(tmp_path / "web" / "index.html")
+    from tartangan_tpu.export.onnx_eval import evaluate
+    with open(f"{out}.onnx", "rb") as f:
+        onnx_out = evaluate(f.read(), {"z": z})["image"]
+    assert onnx_out.shape == (1, 3, 16, 16)
+    assert np.all(np.isfinite(onnx_out))
 
 
 def test_continuous_interp_tiled(trained_run, tmp_path):
