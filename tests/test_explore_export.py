@@ -69,6 +69,24 @@ def test_find_image(trained_run, tmp_path):
     assert os.path.exists(f"{out}_0.png")
 
 
+def test_find_image_perceptual(trained_run, tmp_path):
+    """--vgg engages the Inception-feature perceptual loss (no torch)."""
+    from PIL import Image
+    from tartangan_tpu.explore.find_image import FindImage
+    target = tmp_path / "target.png"
+    rng = np.random.default_rng(4)
+    Image.fromarray(
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)).save(target)
+    out = tmp_path / "findp" / "img"
+    app = FindImage(FindImage.parse_cli_args(
+        [trained_run, str(out), str(target), "--vgg",
+         "--perceptual-layers", "Mixed_5b",
+         "--max-steps", "2", "--num-samples", "2", "--save-freq", "1"]))
+    app.run()
+    assert os.path.exists(f"{out}_0.png")
+    assert os.path.exists(f"{out}_1.png")
+
+
 def test_web_export_roundtrip(trained_run, tmp_path):
     import jax
     from tartangan_tpu.export.web import WebExportApp
