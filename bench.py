@@ -27,11 +27,14 @@ import time
 
 
 def measure_step(config="128", batch_size=128, steps=50, warmup=5,
-                 repeats=3):
+                 repeats=3, tp=0):
     """Time the bare fused train step (device-bound ceiling).
 
     Returns a list of ``repeats`` img/s values from consecutive timing
     windows over one compiled step (compile cost excluded by warmup).
+    ``tp>0`` places the state on a 2-D (data, model) mesh with
+    tensor-parallel weight sharding (tp=1 on a single chip exercises the
+    TP machinery degenerately — useful to confirm zero placement overhead).
     """
     import jax
     import jax.numpy as jnp
@@ -40,6 +43,11 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
     from tartangan_tpu.configs import GAN_CONFIGS
     from tartangan_tpu.models import factories as F
     from tartangan_tpu.models.pluggan import Discriminator, Generator
+    from tartangan_tpu.parallel.mesh import (
+        data_sharding,
+        make_mesh,
+        param_sharding,
+    )
     from tartangan_tpu.train.cnn import make_cnn_train_step
     from tartangan_tpu.train.common import make_adam
     from tartangan_tpu.train.state import GANTrainState
@@ -81,8 +89,14 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
     ), donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
-    batch = jax.device_put(rng.integers(
-        0, 256, (batch_size, cfg.max_size, cfg.max_size, 3), dtype=np.uint8))
+    host_batch = rng.integers(
+        0, 256, (batch_size, cfg.max_size, cfg.max_size, 3), dtype=np.uint8)
+    if tp:
+        mesh = make_mesh(tp=tp)
+        state = param_sharding(state, mesh)
+        batch = jax.device_put(host_batch, data_sharding(mesh))
+    else:
+        batch = jax.device_put(host_batch)
     keys = [jax.random.PRNGKey(i) for i in range(steps * repeats + warmup)]
 
     for i in range(warmup):
@@ -170,6 +184,9 @@ def main():
                    help="Make the full-pipeline number the headline metric")
     p.add_argument("--no-e2e", action="store_true",
                    help="Skip the end-to-end companion measurement")
+    p.add_argument("--tp", type=int, default=0,
+                   help="Tensor-parallel degree for the 2-D mesh placement "
+                        "(0 = plain single-device/data-parallel path)")
     args = p.parse_args()
 
     extra = {}
@@ -178,9 +195,11 @@ def main():
         metric = f"images_per_sec_{args.config}px_sagan_train_e2e"
     else:
         values = measure_step(args.config, args.batch_size, args.steps,
-                              repeats=max(args.repeats, 1))
+                              repeats=max(args.repeats, 1), tp=args.tp)
         value = statistics.median(values)
         metric = f"images_per_sec_{args.config}px_sagan_train"
+        if args.tp:
+            metric += f"_tp{args.tp}"
         extra = {"min": round(min(values), 2), "max": round(max(values), 2),
                  "runs": len(values)}
         if not args.no_e2e:

@@ -35,23 +35,45 @@ def make_mesh(num_devices: int | None = None, axis_name: str = DATA_AXIS,
     return Mesh(grid, (axis_name, MODEL_AXIS))
 
 
-def param_sharding(tree, mesh: Mesh, axis_name: str = MODEL_AXIS):
+# leaf names (last key-path component) that carry an output-feature trailing
+# dim and are safe to shard over the model axis. Everything else (BN
+# scale/bias/stats, biases, gammas, step counters) replicates. Adam moments
+# mirror the param tree, so their leaf names match and shard identically.
+TP_SHARDED_LEAVES = ("kernel", "embedding_u", "embedding_v")
+
+
+def param_sharding(tree, mesh: Mesh, axis_name: str = MODEL_AXIS,
+                   quiet: bool = False):
     """Tensor-parallel placement for a parameter/optimizer pytree: shard the
-    trailing (output-feature) dim of every rank>=2 tensor over the model
-    axis when divisible; replicate everything else. XLA/GSPMD inserts the
-    all-gathers/reduce-scatters the partitioned convs need."""
+    trailing (output-feature) dim over the model axis for the explicit
+    allowlist of weight leaves (TP_SHARDED_LEAVES) when divisible by tp;
+    replicate everything else. XLA/GSPMD inserts the all-gathers /
+    reduce-scatters the partitioned convs need. Logs a one-line placement
+    summary so the effective sharding is auditable."""
     if axis_name not in mesh.axis_names:
         return jax.device_put(tree, NamedSharding(mesh, P()))
     tp = mesh.shape[axis_name]
+    counts = {"sharded": 0, "replicated": 0}
 
-    def place(leaf):
-        if getattr(leaf, "ndim", 0) >= 2 and leaf.shape[-1] % tp == 0:
+    def place(path, leaf):
+        name = str(path[-1].key) if hasattr(path[-1], "key") else \
+            str(getattr(path[-1], "name", path[-1]))
+        if (name in TP_SHARDED_LEAVES
+                and getattr(leaf, "ndim", 0) >= 2
+                and leaf.shape[-1] % tp == 0):
             spec = P(*([None] * (leaf.ndim - 1)), axis_name)
+            counts["sharded"] += 1
         else:
             spec = P()
+            counts["replicated"] += 1
         return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    return jax.tree_util.tree_map(place, tree)
+    placed = jax.tree_util.tree_map_with_path(place, tree)
+    if not quiet:
+        print(f"[tp] model-axis placement (tp={tp}): "
+              f"{counts['sharded']} weight leaves sharded on their "
+              f"output-feature dim, {counts['replicated']} replicated")
+    return placed
 
 
 def data_sharding(mesh: Mesh, axis_name: str = DATA_AXIS) -> NamedSharding:
