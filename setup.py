@@ -32,6 +32,7 @@ setup(
             "tartangan_train_shared_iqn = tartangan_tpu.train.shared.iqn:main",
             "tartangan_prep_images = tartangan_tpu.data.image_bytes:main",
             "tartangan_inception_moments = tartangan_tpu.eval.moments:main",
+            "tartangan_port_inception = tartangan_tpu.eval.port_weights:main",
             "tartangan_export_web = tartangan_tpu.export.web:main",
             "tartangan_serve = tartangan_tpu.serve:main",
             "tartangan_synthetic = tartangan_tpu.data.synthetic:main",

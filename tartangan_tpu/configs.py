@@ -51,7 +51,9 @@ def _cfg(latent_dims, blocks, attention=(), base_size=4, data_dims=3,
 
 
 # Names, widths and attention indices mirror reference pluggan.py:199-406.
+# '8' is ours: a minimal single-scale config for fast tests/smoke runs.
 GAN_CONFIGS = {
+    '8': _cfg(32, (16,)),
     '16': _cfg(100, (64, 32)),
     '32': _cfg(128, (128, 64, 32)),
     '64': _cfg(128, (128, 128, 64, 32)),

@@ -18,6 +18,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# persistent compilation cache: this box has ONE cpu core, and jit-compiling
+# the same tiny G/D graphs dominates suite wall-clock — cache them across
+# tests and across runs (cache lives outside the repo tree)
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/tartangan_jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -78,7 +78,7 @@ def _run_on_mesh(step, state, batch, key, mesh, tp=False):
 
 @pytest.mark.parametrize("workload", ["cnn", "iqn"])
 def test_step_matches_across_mesh_sizes(rng, workload):
-    cfg = GAN_CONFIGS["16"]
+    cfg = GAN_CONFIGS["8"]
     batch = rng.integers(0, 256, (16, cfg.max_size, cfg.max_size, 3),
                          dtype=np.uint8)
     key = jax.random.PRNGKey(42)
@@ -110,7 +110,7 @@ def test_step_matches_across_mesh_sizes(rng, workload):
 def test_dp_tp_mesh_matches_single_device(rng, workload):
     """2-D (data=4, model=2) mesh with tensor-parallel weight sharding must
     reproduce the 1-device step (GSPMD inserts the channel collectives)."""
-    cfg = GAN_CONFIGS["16"]
+    cfg = GAN_CONFIGS["8"]
     batch = rng.integers(0, 256, (16, cfg.max_size, cfg.max_size, 3),
                          dtype=np.uint8)
     key = jax.random.PRNGKey(7)

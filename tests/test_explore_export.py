@@ -81,10 +81,9 @@ def test_find_image_perceptual(trained_run, tmp_path):
     app = FindImage(FindImage.parse_cli_args(
         [trained_run, str(out), str(target), "--vgg",
          "--perceptual-layers", "Mixed_5b",
-         "--max-steps", "2", "--num-samples", "2", "--save-freq", "1"]))
+         "--max-steps", "1", "--num-samples", "2", "--save-freq", "1"]))
     app.run()
     assert os.path.exists(f"{out}_0.png")
-    assert os.path.exists(f"{out}_1.png")
 
 
 def test_web_export_roundtrip(trained_run, tmp_path):

@@ -35,7 +35,8 @@ def test_moments_and_fid_closure(tmp_path, rng, small_net, monkeypatch):
 
     # patch the closure to reuse the module-scoped net (skip re-init cost)
     monkeypatch.setattr(
-        einc, "InceptionWrapper", lambda dtype=None: small_net)
+        einc, "InceptionWrapper",
+        lambda dtype=None, weights=None, **kw: small_net)
     get_metrics = efid.prepare_inception_metrics(str(moments_path))
 
     def sample_fn():

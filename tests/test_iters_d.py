@@ -79,7 +79,7 @@ def _make_step(workload, cfg, iters_d):
 
 @pytest.mark.parametrize("workload", ["iqn", "info"])
 def test_step_iters_d_runs_and_differs(rng, workload):
-    cfg = GAN_CONFIGS["16"]
+    cfg = GAN_CONFIGS["8"]
     batch = rng.integers(0, 256, (8, cfg.max_size, cfg.max_size, 3),
                          dtype=np.uint8)
     key = jax.random.PRNGKey(11)
