@@ -9,6 +9,7 @@ from tartangan_tpu.models import factories as F
 from tartangan_tpu.models.pluggan import Discriminator, Generator
 
 EXPECTED_SIZES = {
+    "8": 8,  # ours: minimal test/smoke config
     "16": 16, "32": 32, "64": 64, "128": 128, "128big": 128,
     "256": 256, "256big": 256, "512": 512, "512thin": 512,
     "512thin-test": 512, "1024": 1024, "1024thin": 1024,
