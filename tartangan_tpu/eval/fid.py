@@ -47,7 +47,16 @@ def frechet_distance(mu1, sigma1, mu2, sigma2):
 
 
 def numpy_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
-    """scipy.linalg.sqrtm reference path (inception_utils.py:149-202)."""
+    """scipy.linalg.sqrtm reference path (inception_utils.py:149-202).
+
+    Deviation from the reference: the eps-offset retry also fires when the
+    result comes back *negative*, not only non-finite — rank-deficient
+    covariances (fewer activations than the 2048 feature dims) make
+    sqrtm(S1 S2) overestimate its trace, and a squared distance below 0 is
+    definitionally a numerical failure. For trustworthy absolute numbers
+    feed >= 2048 samples on both sides; the retry keeps small-sample
+    smoke runs sane rather than silently wrong-signed.
+    """
     from scipy import linalg
 
     mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
@@ -56,27 +65,56 @@ def numpy_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
         out = linalg.sqrtm(m)
         return out[0] if isinstance(out, tuple) else out
 
-    diff = mu1 - mu2
-    covmean = _sqrtm(sigma1.dot(sigma2))
-    if not np.isfinite(covmean).all():
+    def _distance(s1, s2):
+        covmean = _sqrtm(s1.dot(s2))
+        if np.iscomplexobj(covmean):
+            covmean = covmean.real
+        diff = mu1 - mu2
+        return float(diff.dot(diff) + np.trace(s1) + np.trace(s2)
+                     - 2 * np.trace(covmean))
+
+    value = _distance(sigma1, sigma2)
+    if not np.isfinite(value) or value < 0:
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = _sqrtm((sigma1 + offset).dot(sigma2 + offset))
-    if np.iscomplexobj(covmean):
-        covmean = covmean.real
-    return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
-                 - 2 * np.trace(covmean))
+        value = _distance(sigma1 + offset, sigma2 + offset)
+    return value
 
 
 def inception_score(probs: np.ndarray, num_splits: int = 10):
     """Split-KL Inception Score over softmax'd logits
-    (reference inception_utils.py:239-246)."""
+    (reference inception_utils.py:239-246).
+
+    Probabilities are floored at a tiny eps before the logs: f32 softmax
+    underflows to exact 0 for saturated logits, which turns the reference
+    formula into nan (0 * -inf) without changing any non-degenerate score.
+    """
     scores = []
     chunk = probs.shape[0] // num_splits
+    eps = np.float64(1e-16)
     for index in range(num_splits):
-        part = probs[index * chunk:(index + 1) * chunk]
+        part = np.maximum(probs[index * chunk:(index + 1) * chunk], eps)
         kl = part * (np.log(part) - np.log(np.mean(part, axis=0, keepdims=True)))
         scores.append(np.exp(np.mean(np.sum(kl, axis=1))))
     return float(np.mean(scores)), float(np.std(scores))
+
+
+def robust_frechet(mu, sigma, data_mu, data_sigma):
+    """FID via the on-device Newton-Schulz path, falling back to float64
+    scipy sqrtm whenever the f32 iteration fails.
+
+    Failure shows up two ways on ill-conditioned covariances (e.g. when
+    fewer than 2048 activations make sigma rank-deficient): non-finite
+    values, and *finite but negative* distances — the squared Frechet
+    distance is nonnegative by definition, so either triggers the fallback.
+    """
+    import jax.numpy as jnp
+
+    fid = float(frechet_distance(
+        jnp.asarray(mu), jnp.asarray(sigma),
+        jnp.asarray(data_mu), jnp.asarray(data_sigma)))
+    if not np.isfinite(fid) or fid < 0:
+        fid = numpy_frechet_distance(mu, sigma, data_mu, data_sigma)
+    return fid
 
 
 def prepare_inception_metrics(moments_path, dtype=None, no_fid: bool = False,
@@ -107,13 +145,7 @@ def prepare_inception_metrics(moments_path, dtype=None, no_fid: bool = False,
         if no_fid:
             fid = 9999.0
         elif use_jax:
-            fid = float(frechet_distance(
-                jnp.asarray(mu), jnp.asarray(sigma),
-                jnp.asarray(data_mu), jnp.asarray(data_sigma)))
-            if not np.isfinite(fid):
-                # f32 Newton-Schulz can diverge on ill-conditioned
-                # covariances; fall back to float64 scipy sqrtm
-                fid = numpy_frechet_distance(mu, sigma, data_mu, data_sigma)
+            fid = robust_frechet(mu, sigma, data_mu, data_sigma)
         else:
             fid = numpy_frechet_distance(mu, sigma, data_mu, data_sigma)
         return is_mean, is_std, fid

@@ -36,6 +36,11 @@ def calculate_inception_moments(dataset, batch_size=32, quiet=False,
         return imgs
 
     total = num_batches * batch_size
+    if total <= 2048 and not quiet:
+        print(f"WARNING: only {total} activations — the 2048-dim pool "
+              "covariance is rank-deficient; FID against these moments "
+              "leans on the eps-offset fallback (use > 2048 images for "
+              "trustworthy numbers)")
     probs, mu, sigma = accumulate_activations(sample_fn, net, total)
     if not quiet:
         is_mean, is_std = inception_score(probs)

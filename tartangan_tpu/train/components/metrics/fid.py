@@ -18,6 +18,11 @@ class FIDComponent(FileBasedMetricsComponent):
     def on_train_begin(self, steps, logs):
         from ....eval.fid import prepare_inception_metrics
         print("Preparing inception metrics...")
+        if self.trainer.args.n_inception_imgs <= 2048:
+            print(f"WARNING: --n-inception-imgs "
+                  f"{self.trainer.args.n_inception_imgs} <= 2048 makes the "
+                  "pool covariance rank-deficient; FID will lean on the "
+                  "eps-offset fallback")
         self.get_inception_metrics = prepare_inception_metrics(
             self.trainer.args.inception_moments,
             weights=self.trainer.args.inception_weights)

@@ -55,3 +55,31 @@ def test_moments_and_fid_closure(tmp_path, rng, small_net, monkeypatch):
 
     _, _, fid_noise = get_metrics(noise_fn, 16, num_splits=2)
     assert fid_noise > fid
+
+
+def test_inception_score_saturated_probs_finite():
+    """f32 softmax can underflow to exact one-hot rows; IS must stay
+    finite (reference formula nans on 0 * -inf)."""
+    from tartangan_tpu.eval.fid import inception_score
+    probs = np.zeros((40, 10), np.float32)
+    probs[np.arange(40), np.arange(40) % 10] = 1.0
+    mean, std = inception_score(probs, num_splits=4)
+    assert np.isfinite(mean) and np.isfinite(std)
+    assert mean > 1.0  # one-hot over 10 balanced classes => high IS
+
+
+def test_robust_frechet_rank_deficient_falls_back():
+    """Finite-but-negative f32 Newton-Schulz results must trigger the f64
+    fallback: the squared Frechet distance is nonnegative by definition."""
+    from tartangan_tpu.eval.fid import numpy_frechet_distance, robust_frechet
+    rng = np.random.default_rng(0)
+    # rank-8 covariance in 64 dims, large scale spread (ill-conditioned)
+    a = rng.normal(0, 100.0, (8, 64))
+    b = rng.normal(0, 0.01, (8, 64))
+    sigma1 = a.T @ a / 8
+    sigma2 = b.T @ b / 8
+    mu1, mu2 = rng.normal(0, 1, 64), rng.normal(0, 1, 64)
+    fid = robust_frechet(mu1, sigma1, mu2, sigma2)
+    assert np.isfinite(fid) and fid >= 0
+    ref = numpy_frechet_distance(mu1, sigma1, mu2, sigma2)
+    np.testing.assert_allclose(fid, ref, rtol=1e-3)
