@@ -114,9 +114,18 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
     return values
 
 
-def measure_end_to_end(config="128", batch_size=128, steps=60):
-    """Time the full Trainer loop: native host batcher, prefetch,
-    device-side normalize, fused step, component hooks."""
+def measure_end_to_end(config="128", batch_size=128, steps=60,
+                       device_data=False):
+    """Time the full Trainer loop.
+
+    ``device_data=False``: native host batcher, prefetch, device-side
+    normalize, fused step, component hooks — the per-step host->device
+    transfer rides the relay and bounds this number in this environment.
+
+    ``device_data=True``: the --device-data path — archive resident in HBM,
+    gather+crop fused into the jitted step, host does one rng-split + one
+    dispatch per step; end-to-end should approach the bare-step ceiling.
+    """
     import tempfile
 
     import numpy as np
@@ -127,7 +136,11 @@ def measure_end_to_end(config="128", batch_size=128, steps=60):
     with tempfile.TemporaryDirectory() as tmp:
         from tartangan_tpu.configs import GAN_CONFIGS
         size = GAN_CONFIGS[config].max_size
-        n = max(batch_size * steps, batch_size)
+        # host path: one epoch must cover `steps` batches. device-data
+        # samples with replacement, so the archive size is independent of
+        # steps (and python-side synthetic image generation is the slow
+        # part of this bench on a 1-core host — keep it bounded).
+        n = max(batch_size * (1 if device_data else steps), batch_size, 1024)
         archive = os.path.join(tmp, "data.npz")
         np.savez(archive, images=make_archive(n, size))
         trainer = CNNTrainer.create_from_cli([
@@ -135,30 +148,43 @@ def measure_end_to_end(config="128", batch_size=128, steps=60):
             "--epochs", "2", "--output", os.path.join(tmp, "out"),
             "--gen-freq", "1000000", "--checkpoint-freq", "1000000",
             "--run-id", "bench", "--quiet-logs",
+            *(["--device-data"] if device_data else []),
         ])
         trainer.build_models()
         trainer.dataset = trainer.prepare_dataset()
         import jax
 
-        from tartangan_tpu.data.prefetch import (
-            EpochBatcher,
-            prefetch_to_device,
-        )
-        batcher = EpochBatcher(trainer.dataset, batch_size)
-        put = lambda b: jax.device_put(b, trainer._batch_sharding)
+        if device_data:
+            trainer._setup_device_data()
+
+            def batches():
+                while True:
+                    yield None
+        else:
+            from tartangan_tpu.data.prefetch import (
+                EpochBatcher,
+                prefetch_to_device,
+            )
+            batcher = EpochBatcher(trainer.dataset, batch_size)
+            put = lambda b: jax.device_put(b, trainer._batch_sharding)
+
+            def batches():
+                return prefetch_to_device(batcher.epoch(), put)
+
         # warmup epoch fragment
-        it = prefetch_to_device(batcher.epoch(), put)
         m = None
-        for i, batch in enumerate(it):
+        for i, batch in enumerate(batches()):
             m = trainer.train_batch(batch)
             if i >= 4:
                 break
         jax.block_until_ready(m["g_loss"])
         count = 0
         t0 = time.perf_counter()
-        for batch in prefetch_to_device(batcher.epoch(), put):
+        for batch in batches():
             m = trainer.train_batch(batch)
             count += 1
+            if count >= steps:
+                break
         jax.block_until_ready(m["g_loss"])
         dt = time.perf_counter() - t0
         return batch_size * count / dt
@@ -182,8 +208,12 @@ def main():
                    help="Timing windows; the headline value is their median")
     p.add_argument("--end-to-end", action="store_true",
                    help="Make the full-pipeline number the headline metric")
+    p.add_argument("--device-data", action="store_true",
+                   help="With --end-to-end: use the HBM-resident-archive "
+                        "path (on-device gather+crop) instead of the host "
+                        "pipeline")
     p.add_argument("--no-e2e", action="store_true",
-                   help="Skip the end-to-end companion measurement")
+                   help="Skip the end-to-end companion measurements")
     p.add_argument("--tp", type=int, default=0,
                    help="Tensor-parallel degree for the 2-D mesh placement "
                         "(0 = plain single-device/data-parallel path)")
@@ -191,8 +221,11 @@ def main():
 
     extra = {}
     if args.end_to_end:
-        value = measure_end_to_end(args.config, args.batch_size, args.steps)
+        value = measure_end_to_end(args.config, args.batch_size, args.steps,
+                                   device_data=args.device_data)
         metric = f"images_per_sec_{args.config}px_sagan_train_e2e"
+        if args.device_data:
+            metric += "_devicedata"
     else:
         values = measure_step(args.config, args.batch_size, args.steps,
                               repeats=max(args.repeats, 1), tp=args.tp)
@@ -203,8 +236,12 @@ def main():
         extra = {"min": round(min(values), 2), "max": round(max(values), 2),
                  "runs": len(values)}
         if not args.no_e2e:
+            # both full-pipeline companions: host streaming (relay-bound
+            # here) and the HBM-resident --device-data path
             extra["e2e_img_s"] = round(measure_end_to_end(
                 args.config, args.batch_size, steps=60), 2)
+            extra["e2e_device_data_img_s"] = round(measure_end_to_end(
+                args.config, args.batch_size, steps=60, device_data=True), 2)
     baseline = load_baseline()
     vs = (value / baseline) if baseline else None
     print(json.dumps({

@@ -119,11 +119,36 @@ class Trainer:
         root_hash = hashlib.md5(root.encode("utf-8")).hexdigest()
         return self.args.dataset_cache.format(root=root_hash, size=size)
 
+    # ---------------------------------------------------- device-resident data
+    def _setup_device_data(self):
+        """--device-data: park the uint8 archive in HBM once and fuse the
+        random gather+crop into the jitted step — zero per-step host->device
+        transfers (data/device.py has the full rationale)."""
+        from ..data.device import (
+            archive_sharding,
+            make_device_sampler,
+            wrap_step_with_device_data,
+        )
+        images = getattr(self.dataset, "images", None)
+        if images is None:
+            raise NotImplementedError(
+                "--device-data requires a pre-resized uint8 archive "
+                "(ImageBytesDataset); folder/text datasets stream from host")
+        sampler = make_device_sampler(
+            images.shape, self.dataset.crop_size, self.args.batch_size)
+        self._archive = jax.device_put(images, archive_sharding(self.mesh))
+        self._device_step = jax.jit(
+            wrap_step_with_device_data(
+                self.make_train_step(), sampler, self._batch_sharding),
+            donate_argnums=(0,))
+
     # ------------------------------------------------------------ train loop
     def train(self):
         self.build_models()
         print(f"Preparing dataset from {self.args.data_path}")
         self.dataset = self.prepare_dataset()
+        if self.args.device_data:
+            self._setup_device_data()
         batcher = EpochBatcher(
             self.dataset, self.args.batch_size, seed=self.args.seed
         )
@@ -155,7 +180,12 @@ class Trainer:
                 put = lambda b: jax.device_put(b, self._batch_sharding)
                 progress.epoch_begin(self.epoch, num_batches)
                 epoch_batches = 0
-                for batch in prefetch_to_device(batcher.epoch(), put):
+                if self.args.device_data:
+                    # same epoch cadence, but batches materialize on-chip
+                    batch_iter = iter([None] * num_batches)
+                else:
+                    batch_iter = prefetch_to_device(batcher.epoch(), put)
+                for batch in batch_iter:
                     self.components.invoke("batch_begin", self.steps, logs)
                     training_metrics = self.train_batch(batch)
                     for name, value in training_metrics.items():
@@ -186,9 +216,14 @@ class Trainer:
 
     def train_batch(self, batch):
         """One fused device step. Returns device scalars (no host sync here —
-        callers convert with float() only when they actually log)."""
-        self.state, metrics = self._train_step(
-            self.state, batch, self.next_key())
+        callers convert with float() only when they actually log). ``batch``
+        is None under --device-data: sampling happens inside the step."""
+        if batch is None:
+            self.state, metrics = self._device_step(
+                self.state, self._archive, self.next_key())
+        else:
+            self.state, metrics = self._train_step(
+                self.state, batch, self.next_key())
         return metrics
 
     # ------------------------------------------------------------- sampling
@@ -390,6 +425,12 @@ class Trainer:
                        help="Rematerialize residual blocks in the backward "
                             "pass (saves HBM at high resolutions)")
         # TPU-native flags
+        p.add_argument("--device-data", action="store_true",
+                       help="Keep the whole uint8 archive resident in HBM "
+                            "and sample/crop batches inside the jitted step "
+                            "(zero per-step host->device transfers; uniform-"
+                            "with-replacement sampling; bytes-archive "
+                            "datasets only)")
         p.add_argument("--dtype", default="auto",
                        choices=["auto", "bf16", "f32"],
                        help="Compute dtype (params always f32)")
