@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..configs import GAN_CONFIGS
@@ -139,9 +140,13 @@ class CNNTrainer(Trainer):
         self.g = self.build_generator()
         self.d = self.build_discriminator()
 
-        init_z = jnp.zeros((2, cfg.latent_dims), jnp.float32)
-        init_img = jnp.zeros((2, cfg.max_size, cfg.max_size, cfg.data_dims),
-                             jnp.float32)
+        # numpy, not jnp: these feed the CPU-pinned init below, and a
+        # TPU-resident array entering a CPU-backend computation is a
+        # device->host fetch — the first such fetch permanently degrades
+        # the relayed-TPU dispatch pipeline (docs/PERF.md "readback poison")
+        init_z = np.zeros((2, cfg.latent_dims), np.float32)
+        init_img = np.zeros((2, cfg.max_size, cfg.max_size, cfg.data_dims),
+                            np.float32)
         with self.init_device():
             g_vars = self.init_generator(init_z)
             d_vars = self.init_discriminator(init_img)

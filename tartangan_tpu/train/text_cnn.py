@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 
 from ..configs import GAN_CONFIGS
@@ -198,13 +199,16 @@ class TextCNNTrainer(CNNTrainer):
         self.embedding = SkipGram(
             len(self.dataset.vocab), args.embedding_dims, dtype=dtype)
 
-        init_z = jnp.zeros((2, cfg.latent_dims), jnp.float32)
-        init_seq = jnp.zeros((2, cfg.max_size, cfg.data_dims), jnp.float32)
+        # numpy, not jnp: a TPU-resident array entering the CPU-pinned init
+        # is a device->host fetch, which permanently degrades the relayed-TPU
+        # dispatch pipeline (docs/PERF.md "readback poison")
+        init_z = np.zeros((2, cfg.latent_dims), np.float32)
+        init_seq = np.zeros((2, cfg.max_size, cfg.data_dims), np.float32)
         with self.init_device():
             g_vars = self.g.init(self.next_key(), init_z, train=True)
             d_vars = self.d.init(self.next_key(), init_seq, train=True)
             emb_vars = self.embedding.init(
-                self.next_key(), jnp.zeros((2, 4), jnp.int32))
+                self.next_key(), np.zeros((2, 4), np.int32))
 
         g_params, d_params = g_vars["params"], d_vars["params"]
         if args.activation == "selu":

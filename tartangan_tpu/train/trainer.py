@@ -84,8 +84,19 @@ class Trainer:
         self._batch_sharding = data_sharding(self.mesh)
         self._replicated = replicated_sharding(self.mesh)
 
-        # rngs: jax key for device-side sampling, numpy for host-side shuffles
-        self.root_key = jax.random.PRNGKey(args.seed)
+        # rngs: jax key for device-side sampling, numpy for host-side
+        # shuffles. The key chain lives on the CPU backend: splits are pure
+        # host work (no accelerator dispatch per step), and — critically on
+        # relayed-TPU setups — splitting never mixes backends. A TPU-resident
+        # key split under the CPU-pinned init context is a cross-backend
+        # device->host fetch, and the FIRST such fetch permanently drops this
+        # environment's relay out of pipelined dispatch (docs/PERF.md
+        # "readback poison"). Keys are tiny; jit uploads them per call.
+        try:
+            with jax.default_device(jax.devices("cpu")[0]):
+                self.root_key = jax.random.PRNGKey(args.seed)
+        except RuntimeError:  # no CPU backend registered
+            self.root_key = jax.random.PRNGKey(args.seed)
         self._key = self.root_key
         self.np_rng = np.random.default_rng(args.seed)
 
