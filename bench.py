@@ -2,10 +2,14 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 ``value`` is the MEDIAN of ``--repeats`` timing windows over the same
-compiled step (the TPU relay adds run-to-run jitter; a single window is
-not reproducible); ``min``/``max`` report the dispersion, and
-``e2e_img_s`` carries the full host-pipeline throughput measured in the
-same process unless ``--no-e2e`` is given.
+compiled program (the TPU relay adds run-to-run jitter; a single window
+is not reproducible); ``min``/``max`` report the dispersion. The program
+is the framework's production execution mode: a lax.scan chunk of
+``--steps-per-call`` fused train steps per dispatch (train/multi.py) —
+``single_dispatch_img_s`` carries the pre-chunking one-dispatch-per-step
+number for cross-round continuity, and the ``e2e_*`` fields carry
+full-Trainer-loop throughputs measured in the same process unless
+``--no-e2e`` is given.
 
 ``vs_baseline`` compares against the measured PyTorch-reference throughput
 for the identical workload (BASELINE.md: the reference publishes no numbers,
@@ -27,14 +31,19 @@ import time
 
 
 def measure_step(config="128", batch_size=128, steps=50, warmup=5,
-                 repeats=3, tp=0):
-    """Time the bare fused train step (device-bound ceiling).
+                 repeats=3, tp=0, steps_per_call=1):
+    """Time the fused train step (device-bound ceiling).
 
     Returns a list of ``repeats`` img/s values from consecutive timing
     windows over one compiled step (compile cost excluded by warmup).
     ``tp>0`` places the state on a 2-D (data, model) mesh with
     tensor-parallel weight sharding (tp=1 on a single chip exercises the
     TP machinery degenerately — useful to confirm zero placement overhead).
+    ``steps_per_call>1`` folds K steps into one lax.scan dispatch
+    (train/multi.py) — the framework's production execution mode; on this
+    relayed TPU it is ~30x the single-dispatch number because one train
+    step's device time (~80us at config 128 b128) is far below the
+    per-dispatch overhead.
     """
     import jax
     import jax.numpy as jnp
@@ -82,11 +91,15 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
         opt_g=opt_g.init(g_vars["params"]),
         opt_d=opt_d.init(d_vars["params"]),
     )
-    step = jax.jit(make_cnn_train_step(
+    base_step = make_cnn_train_step(
         g, d, opt_g, opt_d,
         latent_dims=cfg.latent_dims, grad_penalty=5.0,
         ema_factor=1e-3, dtype=dtype,
-    ), donate_argnums=(0,))
+    )
+    if steps_per_call > 1:
+        from tartangan_tpu.train.multi import chunk_train_step
+        base_step = chunk_train_step(base_step, steps_per_call, "broadcast")
+    step = jax.jit(base_step, donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     host_batch = rng.integers(
@@ -97,7 +110,11 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
         batch = jax.device_put(host_batch, data_sharding(mesh))
     else:
         batch = jax.device_put(host_batch)
-    keys = [jax.random.PRNGKey(i) for i in range(steps * repeats + warmup)]
+    # one dispatch advances steps_per_call steps; windows keep ~`steps`
+    # train steps each regardless of chunking
+    dispatches = max(steps // steps_per_call, 4 if steps_per_call > 1 else 1)
+    keys = [jax.random.PRNGKey(i)
+            for i in range(dispatches * repeats + warmup)]
 
     for i in range(warmup):
         state, metrics = step(state, batch, keys[i])
@@ -106,16 +123,17 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
     values = []
     for r in range(repeats):
         t0 = time.perf_counter()
-        for i in range(steps):
-            state, metrics = step(state, batch, keys[warmup + r * steps + i])
+        for i in range(dispatches):
+            state, metrics = step(
+                state, batch, keys[warmup + r * dispatches + i])
         jax.block_until_ready(metrics["g_loss"])
         dt = time.perf_counter() - t0
-        values.append(batch_size * steps / dt)
+        values.append(batch_size * steps_per_call * dispatches / dt)
     return values
 
 
 def measure_end_to_end(config="128", batch_size=128, steps=60,
-                       device_data=False):
+                       device_data=False, steps_per_call=1):
     """Time the full Trainer loop.
 
     ``device_data=False``: native host batcher, prefetch, device-side
@@ -149,11 +167,16 @@ def measure_end_to_end(config="128", batch_size=128, steps=60,
             "--gen-freq", "1000000", "--checkpoint-freq", "1000000",
             "--run-id", "bench", "--quiet-logs",
             *(["--device-data"] if device_data else []),
+            *(["--steps-per-call", str(steps_per_call)]
+              if steps_per_call > 1 else []),
         ])
         trainer.build_models()
         trainer.dataset = trainer.prepare_dataset()
         import jax
 
+        if steps_per_call > 1 and not device_data:
+            raise NotImplementedError(
+                "bench e2e chunking is wired for --device-data only")
         if device_data:
             trainer._setup_device_data()
 
@@ -179,15 +202,16 @@ def measure_end_to_end(config="128", batch_size=128, steps=60,
                 break
         jax.block_until_ready(m["g_loss"])
         count = 0
+        dispatches = max(steps // steps_per_call, 1)
         t0 = time.perf_counter()
         for batch in batches():
             m = trainer.train_batch(batch)
             count += 1
-            if count >= steps:
+            if count >= dispatches:
                 break
         jax.block_until_ready(m["g_loss"])
         dt = time.perf_counter() - t0
-        return batch_size * count / dt
+        return batch_size * steps_per_call * count / dt
 
 
 def load_baseline():
@@ -212,6 +236,10 @@ def main():
                    help="With --end-to-end: use the HBM-resident-archive "
                         "path (on-device gather+crop) instead of the host "
                         "pipeline")
+    p.add_argument("--steps-per-call", type=int, default=32,
+                   help="lax.scan chunk size for the headline measurement "
+                        "(1 = one dispatch per step, the pre-chunking "
+                        "semantics)")
     p.add_argument("--no-e2e", action="store_true",
                    help="Skip the end-to-end companion measurements")
     p.add_argument("--tp", type=int, default=0,
@@ -220,28 +248,46 @@ def main():
     args = p.parse_args()
 
     extra = {}
+    k = max(args.steps_per_call, 1)
     if args.end_to_end:
-        value = measure_end_to_end(args.config, args.batch_size, args.steps,
-                                   device_data=args.device_data)
+        e2e_k = k if args.device_data else 1
+        value = measure_end_to_end(args.config, args.batch_size,
+                                   max(args.steps, 10 * e2e_k),
+                                   device_data=args.device_data,
+                                   steps_per_call=e2e_k)
         metric = f"images_per_sec_{args.config}px_sagan_train_e2e"
         if args.device_data:
             metric += "_devicedata"
+            extra["steps_per_call"] = k
     else:
-        values = measure_step(args.config, args.batch_size, args.steps,
-                              repeats=max(args.repeats, 1), tp=args.tp)
+        steps = max(args.steps, 8 * k)
+        values = measure_step(args.config, args.batch_size, steps,
+                              repeats=max(args.repeats, 1), tp=args.tp,
+                              steps_per_call=k)
         value = statistics.median(values)
         metric = f"images_per_sec_{args.config}px_sagan_train"
         if args.tp:
             metric += f"_tp{args.tp}"
         extra = {"min": round(min(values), 2), "max": round(max(values), 2),
-                 "runs": len(values)}
+                 "runs": len(values), "steps_per_call": k}
+        if k > 1:
+            # continuity with rounds measured before scan chunking
+            singles = measure_step(args.config, args.batch_size, args.steps,
+                                   repeats=max(args.repeats, 1), tp=args.tp,
+                                   steps_per_call=1)
+            extra["single_dispatch_img_s"] = round(
+                statistics.median(singles), 2)
         if not args.no_e2e:
-            # both full-pipeline companions: host streaming (relay-bound
-            # here) and the HBM-resident --device-data path
-            extra["e2e_img_s"] = round(measure_end_to_end(
-                args.config, args.batch_size, steps=60), 2)
+            # full-Trainer-loop companions: HBM-resident --device-data
+            # (chunked and single-dispatch) and relay-bound host streaming
+            extra["e2e_device_data_chunked_img_s"] = round(
+                measure_end_to_end(args.config, args.batch_size,
+                                   steps=10 * k, device_data=True,
+                                   steps_per_call=k), 2)
             extra["e2e_device_data_img_s"] = round(measure_end_to_end(
                 args.config, args.batch_size, steps=60, device_data=True), 2)
+            extra["e2e_img_s"] = round(measure_end_to_end(
+                args.config, args.batch_size, steps=60), 2)
     baseline = load_baseline()
     vs = (value / baseline) if baseline else None
     print(json.dumps({

@@ -33,6 +33,15 @@ class TrainerComponent(abc.ABC):
     def on_epoch_end(self, steps, epochs, logs):
         pass
 
+    def every(self, freq, steps):
+        """Periodic-fire predicate, aware of --steps-per-call chunking:
+        True when the dispatch window [steps, steps + K) crosses a multiple
+        of ``freq``. Degenerates to ``steps % freq == 0`` at K == 1; with
+        K > 1 a non-aligned freq fires on the first chunk boundary past the
+        multiple instead of never."""
+        k = getattr(self.trainer, "steps_per_call", 1)
+        return (steps + k - 1) // freq > (steps - 1) // freq
+
     @property
     def trainer(self):
         if not hasattr(self, "_trainer"):

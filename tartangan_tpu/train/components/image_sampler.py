@@ -26,7 +26,7 @@ class ImageSamplerComponent(TrainerComponent):
         self.output_samples(f"{self.sample_root}/sample_{steps}.png")
 
     def on_batch_end(self, steps, logs):
-        if steps % self.trainer.args.gen_freq == 0:
+        if self.every(self.trainer.args.gen_freq, steps):
             self.output_samples(f"{self.sample_root}/sample_{steps}.png")
 
     def output_samples(self, filename, n=None):

@@ -28,7 +28,7 @@ class FIDComponent(FileBasedMetricsComponent):
             weights=self.trainer.args.inception_weights)
 
     def on_batch_end(self, steps, logs):
-        if steps and steps % self.trainer.args.fid_freq == 0:
+        if steps and self.every(self.trainer.args.fid_freq, steps):
             print("Calculating inception metrics...")
             is_mean, is_std, fid = self._calculate()
             logs["fid"].append(fid)

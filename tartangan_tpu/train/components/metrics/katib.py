@@ -6,6 +6,7 @@ import os
 
 from ....utils.fs import maybe_makedirs, smart_open
 from ....utils.kubeflow import key_to_kf_name
+from ....utils.scalars import last_scalar
 from .base import FileBasedMetricsComponent
 
 
@@ -17,7 +18,7 @@ class KatibMetricsComponent(FileBasedMetricsComponent):
 
     def on_train_end(self, steps, logs):
         output = {
-            key_to_kf_name(key): float(values[-1])
+            key_to_kf_name(key): last_scalar(values[-1])
             for key, values in logs.items()
             if values and (not self.whitelist or key in self.whitelist)
         }

@@ -7,6 +7,7 @@ import os
 
 from ....utils.fs import maybe_makedirs, smart_open
 from ....utils.kubeflow import key_to_kf_name
+from ....utils.scalars import last_scalar
 from .base import FileBasedMetricsComponent
 
 
@@ -18,7 +19,7 @@ class KubeflowMetricsComponent(FileBasedMetricsComponent):
     def on_train_end(self, steps, logs):
         output = dict(
             metrics=[
-                dict(name=key_to_kf_name(key), numberValue=float(values[-1]))
+                dict(name=key_to_kf_name(key), numberValue=last_scalar(values[-1]))
                 for key, values in logs.items()
                 if values and (not self.whitelist or key in self.whitelist)
             ]

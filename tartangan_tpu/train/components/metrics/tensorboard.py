@@ -22,8 +22,9 @@ class TensorboardComponent(FileBasedMetricsComponent):
         self.summary_writer = ScalarEventWriter(metrics_path)
 
     def on_batch_end(self, steps, logs):
+        from ....utils.scalars import last_scalar
         scalars = {
-            f"{self.main_tag}/{key}": float(values[-1])
+            f"{self.main_tag}/{key}": last_scalar(values[-1])
             for key, values in logs.items()
             if values and (not self.whitelist or key in self.whitelist)
         }

@@ -43,7 +43,7 @@ class ModelCheckpointComponent(TrainerComponent):
             self.resume_training_from_latest()
 
     def on_batch_end(self, steps, logs):
-        if steps and steps % self.trainer.args.checkpoint_freq == 0:
+        if steps and self.every(self.trainer.args.checkpoint_freq, steps):
             if self._loaded_from != steps:  # prevent immediate re-save
                 self.save_checkpoint(steps)
 

@@ -37,7 +37,7 @@ class ProfilerComponent(TrainerComponent):
             self._active = False
             print("[profiler] trace captured")
 
-        if args.timing_freq and steps and steps % args.timing_freq == 0:
+        if args.timing_freq and steps and self.every(args.timing_freq, steps):
             now = time.perf_counter()
             imgs = (steps - self._steps0) * args.batch_size
             rate = imgs / max(now - self._t0, 1e-9)

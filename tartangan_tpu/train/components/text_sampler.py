@@ -24,7 +24,7 @@ class TextSamplerComponent(TrainerComponent):
         self.output_samples(f"{self.sample_root}/sample_{steps}.txt")
 
     def on_batch_end(self, steps, logs):
-        if steps % self.trainer.args.gen_freq == 0:
+        if self.every(self.trainer.args.gen_freq, steps):
             self.output_samples(f"{self.sample_root}/sample_{steps}.txt")
 
     def output_samples(self, filename, n=None):

@@ -1,0 +1,78 @@
+"""Step chunking: run K train steps per device dispatch via ``lax.scan``.
+
+TPU rationale: the models here are small enough that one fused train step
+executes in tens of microseconds on the MXU — per-dispatch overhead (host
+Python, runtime, and on relayed setups the network round-trip) dominates
+wall clock. Folding K steps into ONE jitted program amortizes that
+overhead K-fold; measured on the tunneled v5e, config '128' b128 went from
+~1.6 ms/step (single dispatch) to ~0.08 ms/step at K=32 (docs/PERF.md).
+The reference has no equivalent — its loop crosses the host boundary
+several times per batch (reference trainers/cnn.py:109,153-156).
+
+Two input modes:
+
+- ``broadcast``: every inner step sees the same ``inputs`` operand — used
+  with the ``--device-data`` HBM-resident archive, where each step samples
+  its own batch on device (data/device.py).
+- ``scan``: ``inputs`` carries a leading ``(K, ...)`` axis and inner step i
+  consumes slice i — used for host-streamed batches, stacked K-at-a-time so
+  the chunk costs one host->device transfer instead of K.
+
+RNG: the chunk receives one key; the body splits it exactly like the host
+loop's ``Trainer.next_key`` chain, so a fixed seed is deterministic for a
+fixed ``--steps-per-call`` (the stream differs between different K — same
+as the reference, where any change to the batch schedule shifts the rng
+draw order).
+
+Metrics: each leaf comes back stacked ``(K,)``; logs consumers take the
+last element (``utils.scalars.last_scalar``).
+"""
+from __future__ import annotations
+
+import jax
+
+
+def chunk_train_step(step_fn, steps_per_call: int, batch_mode: str):
+    """Wrap ``step_fn(state, batch, rng) -> (state, metrics)`` into a
+    ``lax.scan`` over ``steps_per_call`` steps (one device dispatch).
+
+    ``batch_mode``: 'broadcast' passes ``inputs`` unchanged to every inner
+    step; 'scan' slices a leading (K, ...) axis off ``inputs``.
+    """
+    if steps_per_call < 1:
+        raise ValueError(f"steps_per_call must be >= 1: {steps_per_call}")
+    if batch_mode not in ("broadcast", "scan"):
+        raise ValueError(f"unknown batch_mode: {batch_mode}")
+
+    def multi_step(state, inputs, rng):
+        def body(carry, xs):
+            st, key = carry
+            key, sub = jax.random.split(key)
+            batch = inputs if batch_mode == "broadcast" else xs
+            st, metrics = step_fn(st, batch, sub)
+            return (st, key), metrics
+
+        xs = None if batch_mode == "broadcast" else inputs
+        (state, _), metrics = jax.lax.scan(
+            body, (state, rng), xs,
+            length=steps_per_call if xs is None else None)
+        return state, metrics
+
+    return multi_step
+
+
+def stack_batches(batch_iter, k: int):
+    """Group a host batch iterator into stacked ``(K, B, ...)`` arrays.
+
+    A trailing partial group is DROPPED — a smaller stack would be a new
+    shape and force a recompile. With shuffled epochs the loss is at most
+    K-1 batches per epoch.
+    """
+    import numpy as np
+
+    group = []
+    for batch in batch_iter:
+        group.append(batch)
+        if len(group) == k:
+            yield np.stack(group)
+            group = []

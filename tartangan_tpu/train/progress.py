@@ -40,8 +40,9 @@ class ProgressLine:
         self.batch = batch
         self._images = batch * batch_size
         rate = self._images / max(time.time() - self._t0, 1e-9)
+        from ..utils.scalars import last_scalar
         postfix = " ".join(
-            f"{k}={float(v):.4f}" for k, v in metrics.items())
+            f"{k}={last_scalar(v):.4f}" for k, v in metrics.items())
         line = (f"epoch {self.epoch} [{batch}/{self.num_batches}] "
                 f"step {steps} {rate:.1f} img/s {postfix}")
         if self.newlines:

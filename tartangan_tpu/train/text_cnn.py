@@ -167,6 +167,10 @@ class TextCNNTrainer(CNNTrainer):
 
     def build_models(self):
         args = self.args
+        if self.steps_per_call > 1:
+            raise NotImplementedError(
+                "--steps-per-call chunking is not wired into the two-phase "
+                "(embedding pretrain / full GAN) text step schedule")
         cfg = GAN_CONFIGS[args.config].scale_model(args.model_scale)
         # data_dims becomes the embedding width (text_cnn.py:36-39)
         import dataclasses

@@ -77,6 +77,7 @@ class Trainer:
 
         self.steps = 0
         self.epoch = 1
+        self.steps_per_call = max(getattr(args, "steps_per_call", 1) or 1, 1)
 
         # device topology: 1-D data mesh, or 2-D (data, model) with --tp
         self.mesh = make_mesh(args.num_devices, tp=getattr(args, 'tp', 1))
@@ -148,10 +149,12 @@ class Trainer:
         sampler = make_device_sampler(
             images.shape, self.dataset.crop_size, self.args.batch_size)
         self._archive = jax.device_put(images, archive_sharding(self.mesh))
-        self._device_step = jax.jit(
-            wrap_step_with_device_data(
-                self.make_train_step(), sampler, self._batch_sharding),
-            donate_argnums=(0,))
+        step = wrap_step_with_device_data(
+            self.make_train_step(), sampler, self._batch_sharding)
+        if self.steps_per_call > 1:
+            from .multi import chunk_train_step
+            step = chunk_train_step(step, self.steps_per_call, "broadcast")
+        self._device_step = jax.jit(step, donate_argnums=(0,))
 
     # ------------------------------------------------------------ train loop
     def train(self):
@@ -180,7 +183,12 @@ class Trainer:
             prev_handler = None
         from .progress import ProgressLine
         progress = ProgressLine(newlines=self.args.log_progress_newlines)
-        num_batches = len(self.dataset) // self.args.batch_size
+        k = self.steps_per_call
+        self._warn_chunk_cadence(k)
+        # with chunking, an epoch runs the largest multiple of K batches
+        # that fits (a shorter trailing chunk would be a new shape ->
+        # recompile; documented in train/multi.py::stack_batches)
+        num_batches = (len(self.dataset) // self.args.batch_size // k) * k
         try:
             self.components.invoke("train_begin", self.steps, logs)
             while self.epoch <= self.args.epochs:
@@ -188,13 +196,19 @@ class Trainer:
                     print(f"Starting epoch {self.epoch}")
                 self.components.invoke(
                     "epoch_begin", self.steps, self.epoch, logs)
-                put = lambda b: jax.device_put(b, self._batch_sharding)
                 progress.epoch_begin(self.epoch, num_batches)
                 epoch_batches = 0
                 if self.args.device_data:
                     # same epoch cadence, but batches materialize on-chip
-                    batch_iter = iter([None] * num_batches)
+                    batch_iter = iter([None] * (num_batches // k))
+                elif k > 1:
+                    # stack K host batches -> ONE transfer + ONE dispatch
+                    from .multi import stack_batches
+                    put = lambda b: jax.device_put(b, self._stacked_sharding)
+                    batch_iter = prefetch_to_device(
+                        stack_batches(batcher.epoch(), k), put)
                 else:
+                    put = lambda b: jax.device_put(b, self._batch_sharding)
                     batch_iter = prefetch_to_device(batcher.epoch(), put)
                 for batch in batch_iter:
                     self.components.invoke("batch_begin", self.steps, logs)
@@ -202,13 +216,18 @@ class Trainer:
                     for name, value in training_metrics.items():
                         logs[name].append(value)
                     self.components.invoke("batch_end", self.steps, logs)
-                    epoch_batches += 1
+                    epoch_batches += k
+                    li = self.args.log_iters
                     if (not self.args.quiet_logs
-                            and self.steps % self.args.log_iters == 0):
+                            # fire when the chunk [steps, steps+k) crosses
+                            # a log_iters boundary (== steps % li == 0 at
+                            # k == 1)
+                            and ((self.steps + k - 1) // li
+                                 > (self.steps - 1) // li)):
                         progress.update(self.steps, epoch_batches,
                                         self.args.batch_size,
                                         training_metrics)
-                    self.steps += 1
+                    self.steps += k
 
                 progress.epoch_end()
                 self.components.invoke(
@@ -226,16 +245,54 @@ class Trainer:
         self.components.invoke("train_end", self.steps, logs)
 
     def train_batch(self, batch):
-        """One fused device step. Returns device scalars (no host sync here —
-        callers convert with float() only when they actually log). ``batch``
-        is None under --device-data: sampling happens inside the step."""
+        """One device dispatch: a single fused step, or a K-step lax.scan
+        chunk under --steps-per-call (train/multi.py). Returns device
+        scalars — () leaves, or (K,) stacked — with no host sync here;
+        callers convert only when they actually log. ``batch`` is None
+        under --device-data: sampling happens inside the step."""
         if batch is None:
             self.state, metrics = self._device_step(
                 self.state, self._archive, self.next_key())
+        elif self.steps_per_call > 1:
+            self.state, metrics = self._stacked_step(
+                self.state, batch, self.next_key())
         else:
             self.state, metrics = self._train_step(
                 self.state, batch, self.next_key())
         return metrics
+
+    @property
+    def _stacked_step(self):
+        """Jitted K-step chunk over stacked (K, B, ...) host batches."""
+        if getattr(self, "_stacked_step_fn", None) is None:
+            from .multi import chunk_train_step
+            self._stacked_step_fn = jax.jit(
+                chunk_train_step(
+                    self.make_train_step(), self.steps_per_call, "scan"),
+                donate_argnums=(0,))
+        return self._stacked_step_fn
+
+    @property
+    def _stacked_sharding(self):
+        """Sharding for stacked (K, B, ...) batches: the batch axis (axis 1)
+        shards over ``data``; the step axis is unsharded."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+        return NamedSharding(self.mesh, P(None, DATA_AXIS))
+
+    def _warn_chunk_cadence(self, k):
+        """--steps-per-call moves the step counter K at a time; component
+        frequencies that aren't multiples of K can only fire late (on the
+        next chunk boundary). Surface that once, loudly."""
+        if k <= 1:
+            return
+        for flag in ("log_iters", "gen_freq", "checkpoint_freq", "fid_freq"):
+            freq = getattr(self.args, flag, None)
+            if freq and freq % k:
+                print(f"warning: --{flag.replace('_', '-')}={freq} is not a "
+                      f"multiple of --steps-per-call={k}; it will fire on "
+                      f"chunk boundaries only")
 
     # ------------------------------------------------------------- sampling
     def sample_z(self, n=None):
@@ -436,6 +493,14 @@ class Trainer:
                        help="Rematerialize residual blocks in the backward "
                             "pass (saves HBM at high resolutions)")
         # TPU-native flags
+        p.add_argument("--steps-per-call", type=int, default=1,
+                       help="Fold K train steps into one jitted lax.scan "
+                            "dispatch (amortizes per-dispatch overhead; "
+                            "metrics log as (K,) chunks; component "
+                            "frequencies should be multiples of K). With "
+                            "--device-data batches sample on-chip inside "
+                            "the scan; otherwise K host batches stack into "
+                            "one transfer")
         p.add_argument("--device-data", action="store_true",
                        help="Keep the whole uint8 archive resident in HBM "
                             "and sample/crop batches inside the jitted step "
