@@ -1,10 +1,10 @@
 """Device-resident dataset: random batch gather + crop inside the jitted step.
 
 Why this exists: the reference's hot loop ships every batch across the
-host->device boundary (`imgs.to(self.device)`, reference trainers/cnn.py:109),
-and on this image's tunneled TPU that transfer is the end-to-end bottleneck —
-the fused train step sustains tens of thousands of img/s while the relay
-moves well under a thousand (docs/PERF.md). The pre-resized uint8 archive is
+host->device boundary (`imgs.to(self.device)`, reference trainers/cnn.py:109).
+Here that per-step upload costs ~18 ms through the relay (measured honest,
+docs/PERF.md) — a 33% end-to-end tax at config '128' b128, and far more on
+hardware where the step itself is ~1 ms. The pre-resized uint8 archive is
 small (N x H x W x 3 bytes — the 128px tartan archive is well under 1 GB),
 so the TPU-first answer is to park the WHOLE archive in HBM once and move the
 per-step work on-chip:
