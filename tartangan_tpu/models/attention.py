@@ -8,10 +8,14 @@ with a learnable scalar gamma initialized to 0.
 TPU design: the 1x1 convs are plain matmuls over the channel axis, and the
 attention itself is two (B, HW, C') batched matmuls — all MXU work. A fused
 Pallas kernel (ops/pallas/attention.py) keeps the softmax(QK^T)V chain in
-VMEM; measured on v5e at the SA-GAN shapes (B8 Lq4096 Lk1024 Ck16 Cv64) the
-XLA-fused path is slightly faster (0.55 ms vs 0.75 ms — the C/8 head dims
-under-fill the MXU lanes in the hand kernel), so the kernel is opt-in via
-``use_pallas=True`` and the default is the XLA path.
+VMEM. Measured HONESTLY (value-fenced sync mode, docs/PERF.md) on this
+bandwidth-bound chip at the SA-GAN shapes (B8 Lq4096 Lk1024 Ck16 Cv64) the
+kernel wins: 2.57 vs 2.93 ms/iter — the XLA chain materializes the 32 MB
+logits+softmax tensors to HBM while the kernel keeps them in VMEM. The
+kernel is therefore the DEFAULT on TPU (with a transparent XLA fallback on
+other backends or oversize KV); ``use_pallas=False`` forces the XLA path.
+(Round 1 reported the opposite ordering from deferred-mode timings — that
+measurement is retracted; see PERF.md "deferred execution".)
 """
 from __future__ import annotations
 
@@ -30,7 +34,7 @@ Dtype = Any
 class SelfAttention2d(nn.Module):
     in_dims: int
     dtype: Dtype = jnp.float32
-    use_pallas: bool = False  # opt-in fused kernel (see module docstring)
+    use_pallas: bool = True  # fused kernel default; XLA fallback off-TPU
 
     @nn.compact
     def __call__(self, x, train: bool = True):
