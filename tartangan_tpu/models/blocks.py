@@ -109,11 +109,22 @@ class ResidualGeneratorBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        if self.upsample:
+        # TPU traffic optimization: norm+act commute EXACTLY with nearest
+        # upsampling (pointwise ops on repeated values; batch stats of the
+        # repeated tensor equal those of the source), so apply them at the
+        # small resolution — 4x less HBM traffic for the normalize pass on
+        # this bandwidth-bound chip (docs/PERF.md). Same values bit-for-bit
+        # as the reference's upsample-first order (generator.py:56-62).
+        if self.upsample and not self.first_block:
+            h = NormAct(self.norm, self.activation, self.dtype)(x, train)
+            h = _upsample(h, self.ndim)
             x = _upsample(x, self.ndim)
-        h = x
-        if not self.first_block:
-            h = NormAct(self.norm, self.activation, self.dtype)(h, train)
+        else:
+            if self.upsample:
+                x = _upsample(x, self.ndim)
+            h = x
+            if not self.first_block:
+                h = NormAct(self.norm, self.activation, self.dtype)(h, train)
         h = Conv(self.out_dims, 3, in_features=self.in_dims,
                  dtype=self.dtype, ndim=self.ndim)(h)
         h = NormAct(self.norm, self.activation, self.dtype)(h, train)
