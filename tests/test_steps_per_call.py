@@ -144,3 +144,43 @@ def test_text_trainer_rejects_steps_per_call(tmp_path):
         "--quiet-logs", "--steps-per-call", "2"])
     with pytest.raises(NotImplementedError):
         trainer.train()
+
+
+# -- per-family coverage: the chunked + device-data paths are generic over
+#    make_train_step; pin that for the IQN, InfoGAN and scene workloads too
+def _run_chunked(trainer_cls, archive, tmp_path, run_id, extra=()):
+    argv = [
+        archive, "--config", "16", "--batch-size", "8",
+        "--epochs", "2", "--output", str(tmp_path / "out"),
+        "--gen-freq", "100", "--checkpoint-freq", "100",
+        "--run-id", run_id, "--dtype", "f32", "--quiet-logs",
+        "--steps-per-call", "2", "--device-data", *extra,
+    ]
+    trainer = trainer_cls.create_from_cli(argv)
+    trainer.train()
+    assert trainer.steps == 2 * 2  # 3 batches/epoch -> 1 chunk of 2
+    flat = np.concatenate([
+        np.ravel(np.asarray(c)) for c in trainer.logs["g_loss"]])
+    assert flat.shape == (4,)
+    assert np.all(np.isfinite(flat))
+    return trainer
+
+
+def test_iqn_trainer_chunked_device_data(tiny_archive, tmp_path):
+    from tartangan_tpu.train.iqn import IQNTrainer
+    _run_chunked(IQNTrainer, tiny_archive, tmp_path, "iqnspc")
+
+
+def test_info_trainer_chunked_device_data(tiny_archive, tmp_path):
+    from tartangan_tpu.train.info import InfoTrainer
+    t = _run_chunked(InfoTrainer, tiny_archive, tmp_path, "infospc",
+                     extra=["--info-cat-dims", "4", "--info-cont-dims", "2"])
+    for c in t.logs["d_code_loss"]:
+        assert np.all(np.isfinite(np.asarray(c)))
+
+
+def test_scene_trainer_chunked_device_data(tiny_archive, tmp_path):
+    from tartangan_tpu.train.scene import SceneTrainer
+    _run_chunked(SceneTrainer, tiny_archive, tmp_path, "scenespc",
+                 extra=["--scene-size", "8", "--patch-size", "3",
+                        "--num-patches", "5", "--patch-noise"])
