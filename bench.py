@@ -153,6 +153,27 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
     return values
 
 
+_ARCHIVE_CACHE: dict = {}
+
+
+def _cached_archive(n, size):
+    """Synthetic-archive path, generated once per (n, size) per process —
+    host-side image synthesis on this 1-core box is slower than the
+    measurements themselves."""
+    key = (n, size)
+    if key not in _ARCHIVE_CACHE:
+        import tempfile
+
+        import numpy as np
+
+        from tartangan_tpu.data.synthetic import make_archive
+        path = os.path.join(tempfile.mkdtemp(prefix="bench_arch_"),
+                            f"data_{n}_{size}.npz")
+        np.savez(path, images=make_archive(n, size))
+        _ARCHIVE_CACHE[key] = path
+    return _ARCHIVE_CACHE[key]
+
+
 def measure_end_to_end(config="128", batch_size=128, steps=60,
                        device_data=False, steps_per_call=1):
     """Time the full Trainer loop.
@@ -180,8 +201,7 @@ def measure_end_to_end(config="128", batch_size=128, steps=60,
         # steps (and python-side synthetic image generation is the slow
         # part of this bench on a 1-core host — keep it bounded).
         n = max(batch_size * (1 if device_data else steps), batch_size, 1024)
-        archive = os.path.join(tmp, "data.npz")
-        np.savez(archive, images=make_archive(n, size))
+        archive = _cached_archive(n, size)
         trainer = CNNTrainer.create_from_cli([
             archive, "--config", config, "--batch-size", str(batch_size),
             "--epochs", "2", "--output", os.path.join(tmp, "out"),

@@ -163,6 +163,12 @@ class Trainer:
         self.dataset = self.prepare_dataset()
         if self.args.device_data:
             self._setup_device_data()
+        elif (getattr(self.dataset, "images", None) is not None
+                and not self.args.quiet_logs):
+            mb = self.dataset.images.nbytes / 1e6
+            print(f"hint: the archive is {mb:.0f} MB of uint8 — "
+                  "--device-data would park it in HBM and remove the "
+                  "per-step host->device transfer")
         batcher = EpochBatcher(
             self.dataset, self.args.batch_size, seed=self.args.seed
         )

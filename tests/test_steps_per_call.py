@@ -150,7 +150,7 @@ def test_text_trainer_rejects_steps_per_call(tmp_path):
 #    make_train_step; pin that for the IQN, InfoGAN and scene workloads too
 def _run_chunked(trainer_cls, archive, tmp_path, run_id, extra=()):
     argv = [
-        archive, "--config", "16", "--batch-size", "8",
+        archive, "--config", "8", "--batch-size", "8",
         "--epochs", "2", "--output", str(tmp_path / "out"),
         "--gen-freq", "100", "--checkpoint-freq", "100",
         "--run-id", run_id, "--dtype", "f32", "--quiet-logs",
@@ -181,6 +181,17 @@ def test_info_trainer_chunked_device_data(tiny_archive, tmp_path):
 
 def test_scene_trainer_chunked_device_data(tiny_archive, tmp_path):
     from tartangan_tpu.train.scene import SceneTrainer
-    _run_chunked(SceneTrainer, tiny_archive, tmp_path, "scenespc",
-                 extra=["--scene-size", "8", "--patch-size", "3",
-                        "--num-patches", "5", "--patch-noise"])
+    argv = [
+        tiny_archive, "--config", "16", "--batch-size", "8",
+        "--epochs", "1", "--output", str(tmp_path / "out"),
+        "--gen-freq", "100", "--checkpoint-freq", "100",
+        "--run-id", "scenespc", "--dtype", "f32", "--quiet-logs",
+        "--steps-per-call", "2", "--device-data",
+        "--scene-size", "8", "--patch-size", "3",
+        "--num-patches", "5", "--patch-noise",
+    ]
+    trainer = SceneTrainer.create_from_cli(argv)
+    trainer.train()
+    assert trainer.steps == 2
+    assert np.all(np.isfinite(np.ravel(np.asarray(
+        trainer.logs["g_loss"][0]))))
