@@ -47,37 +47,40 @@ def frechet_distance(mu1, sigma1, mu2, sigma2):
 
 
 def numpy_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
-    """scipy.linalg.sqrtm reference path (inception_utils.py:149-202).
+    """Float64 host fallback for the Frechet distance
+    (reference inception_utils.py:149-202).
 
-    Deviation from the reference: the eps-offset retry also fires when the
-    result comes back *negative*, not only non-finite — rank-deficient
-    covariances (fewer activations than the 2048 feature dims) make
-    sqrtm(S1 S2) overestimate its trace, and a squared distance below 0 is
-    definitionally a numerical failure. For trustworthy absolute numbers
-    feed >= 2048 samples on both sides; the retry keeps small-sample
-    smoke runs sane rather than silently wrong-signed.
+    Deviation from the reference's ``scipy.linalg.sqrtm(S1 S2)``: the
+    trace of the matrix square root is computed through the symmetric
+    form ``tr sqrt(S1 S2) = tr sqrt(R2 S1 R2)`` with ``R2 = sqrt(S2)``,
+    both square roots via ``eigh`` with negative eigenvalues clipped to
+    zero. For PSD covariances this is the same quantity, but it cannot
+    go complex or overestimate the trace the way non-symmetric sqrtm
+    does on rank-deficient inputs (fewer activations than the 2048
+    feature dims) — which previously produced *negative* "FIDs" that the
+    eps-offset retry did not always repair. The result is clamped at 0:
+    the squared Frechet distance is nonnegative by definition, so
+    anything below is numerical noise. For trustworthy absolute numbers
+    feed >= 2048 samples on both sides.
     """
-    from scipy import linalg
+    mu1 = np.atleast_1d(np.asarray(mu1, np.float64))
+    mu2 = np.atleast_1d(np.asarray(mu2, np.float64))
+    sigma1 = np.atleast_2d(np.asarray(sigma1, np.float64))
+    sigma2 = np.atleast_2d(np.asarray(sigma2, np.float64))
 
-    mu1, mu2 = np.atleast_1d(mu1), np.atleast_1d(mu2)
-    sigma1, sigma2 = np.atleast_2d(sigma1), np.atleast_2d(sigma2)
-    def _sqrtm(m):
-        out = linalg.sqrtm(m)
-        return out[0] if isinstance(out, tuple) else out
+    def _psd_sqrt(m):
+        vals, vecs = np.linalg.eigh((m + m.T) / 2.0)
+        vals = np.sqrt(np.clip(vals, 0.0, None))
+        return (vecs * vals) @ vecs.T
 
-    def _distance(s1, s2):
-        covmean = _sqrtm(s1.dot(s2))
-        if np.iscomplexobj(covmean):
-            covmean = covmean.real
-        diff = mu1 - mu2
-        return float(diff.dot(diff) + np.trace(s1) + np.trace(s2)
-                     - 2 * np.trace(covmean))
-
-    value = _distance(sigma1, sigma2)
-    if not np.isfinite(value) or value < 0:
-        offset = np.eye(sigma1.shape[0]) * eps
-        value = _distance(sigma1 + offset, sigma2 + offset)
-    return value
+    r2 = _psd_sqrt(sigma2 + np.eye(sigma2.shape[0]) * eps)
+    inner = r2 @ (sigma1 + np.eye(sigma1.shape[0]) * eps) @ r2
+    tr_covmean = float(np.sum(np.sqrt(np.clip(
+        np.linalg.eigvalsh((inner + inner.T) / 2.0), 0.0, None))))
+    diff = mu1 - mu2
+    value = float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
+                  - 2.0 * tr_covmean)
+    return max(value, 0.0)
 
 
 def inception_score(probs: np.ndarray, num_splits: int = 10):
