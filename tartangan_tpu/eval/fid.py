@@ -80,7 +80,13 @@ def numpy_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
     diff = mu1 - mu2
     value = float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
                   - 2.0 * tr_covmean)
-    return max(value, 0.0)
+    if value < 0:
+        # numerical noise below the mathematical floor — say so rather
+        # than reporting an ambiguous exact 0
+        print(f"FID clamped to 0 (raw {value:.4g}: below numerical "
+              "resolution — distributions match to within noise)")
+        value = 0.0
+    return value
 
 
 def inception_score(probs: np.ndarray, num_splits: int = 10):
