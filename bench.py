@@ -48,11 +48,15 @@ def enter_honest_mode():
 
 
 def measure_step(config="128", batch_size=128, steps=50, warmup=5,
-                 repeats=3, tp=0, steps_per_call=1):
+                 repeats=3, tp=0, steps_per_call=1, workload="cnn",
+                 remat=False):
     """Time the fused train step (device-bound ceiling).
 
     Returns a list of ``repeats`` img/s values from consecutive timing
     windows over one compiled step (compile cost excluded by warmup).
+    ``workload`` selects the trainer family: "cnn" (SA-GAN BCE+R1,
+    reference trainers/cnn.py) or "iqn" (quantile discriminator,
+    reference trainers/iqn.py) — the two BASELINE.md benchmark configs.
     ``tp>0`` places the state on a 2-D (data, model) mesh with
     tensor-parallel weight sharding (tp=1 on a single chip exercises the
     TP machinery degenerately — useful to confirm zero placement overhead).
@@ -68,7 +72,11 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
 
     from tartangan_tpu.configs import GAN_CONFIGS
     from tartangan_tpu.models import factories as F
-    from tartangan_tpu.models.pluggan import Discriminator, Generator
+    from tartangan_tpu.models.pluggan import (
+        Discriminator,
+        Generator,
+        IQNDiscriminator,
+    )
     from tartangan_tpu.parallel.mesh import (
         data_sharding,
         make_mesh,
@@ -83,22 +91,36 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
     g = Generator(
         cfg,
         input_factory=F.g_input_factory("mlp", "relu"),
-        block_factory=F.g_block_factory("bn", "relu"),
+        block_factory=F.g_block_factory("bn", "relu", remat=remat),
         output_factory=F.g_output_factory("bn", "relu"),
-        dtype=dtype,
-    )
-    d = Discriminator(
-        cfg,
-        block_factory=F.d_block_factory("bn", "relu"),
-        output_factory=F.d_output_factory("bn", "relu"),
         dtype=dtype,
     )
     key = jax.random.PRNGKey(0)
     z0 = jnp.zeros((2, cfg.latent_dims), jnp.float32)
     img0 = jnp.zeros((2, cfg.max_size, cfg.max_size, cfg.data_dims))
     g_vars = g.init(key, z0, train=True)
-    d_vars = d.init(key, img0, train=True)
     opt_g, opt_d = make_adam(1e-4), make_adam(4e-4)
+
+    if workload == "iqn":
+        from tartangan_tpu.train.iqn import make_iqn_train_step
+        d = IQNDiscriminator(
+            cfg,
+            block_factory=F.d_block_factory("bn", "relu", remat=remat),
+            output_factory=F.iqn_d_output_factory("bn", "relu"),
+            dtype=dtype,
+        )
+        d_vars = d.init({"params": key, "iqn": key}, img0, train=True,
+                        targets=jnp.ones((2, 1), jnp.float32))
+        make_train_step = make_iqn_train_step
+    else:
+        d = Discriminator(
+            cfg,
+            block_factory=F.d_block_factory("bn", "relu", remat=remat),
+            output_factory=F.d_output_factory("bn", "relu"),
+            dtype=dtype,
+        )
+        d_vars = d.init(key, img0, train=True)
+        make_train_step = make_cnn_train_step
 
     state = GANTrainState(
         g_params=g_vars["params"], g_stats=g_vars.get("batch_stats", {}),
@@ -108,7 +130,7 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
         opt_g=opt_g.init(g_vars["params"]),
         opt_d=opt_d.init(d_vars["params"]),
     )
-    base_step = make_cnn_train_step(
+    base_step = make_train_step(
         g, d, opt_g, opt_d,
         latent_dims=cfg.latent_dims, grad_penalty=5.0,
         ema_factor=1e-3, dtype=dtype,
@@ -162,13 +184,16 @@ def _cached_archive(n, size):
     measurements themselves."""
     key = (n, size)
     if key not in _ARCHIVE_CACHE:
+        import atexit
+        import shutil
         import tempfile
 
         import numpy as np
 
         from tartangan_tpu.data.synthetic import make_archive
-        path = os.path.join(tempfile.mkdtemp(prefix="bench_arch_"),
-                            f"data_{n}_{size}.npz")
+        tmpdir = tempfile.mkdtemp(prefix="bench_arch_")
+        atexit.register(shutil.rmtree, tmpdir, ignore_errors=True)
+        path = os.path.join(tmpdir, f"data_{n}_{size}.npz")
         np.savez(path, images=make_archive(n, size))
         _ARCHIVE_CACHE[key] = path
     return _ARCHIVE_CACHE[key]
@@ -285,6 +310,9 @@ def main():
                         "semantics)")
     p.add_argument("--no-e2e", action="store_true",
                    help="Skip the end-to-end companion measurements")
+    p.add_argument("--no-workloads", action="store_true",
+                   help="Skip the secondary workload rows (IQN@64, 256px, "
+                        "512thin) — headline config only")
     p.add_argument("--tp", type=int, default=0,
                    help="Tensor-parallel degree for the 2-D mesh placement "
                         "(0 = plain single-device/data-parallel path)")
@@ -332,6 +360,30 @@ def main():
                 args.config, args.batch_size, steps=60, device_data=True), 2)
             extra["e2e_img_s"] = round(measure_end_to_end(
                 args.config, args.batch_size, steps=60), 2)
+        if not args.no_workloads:
+            # secondary workload rows (BASELINE.md configs #1-2 + the
+            # attention config): previously PERF.md prose only — a
+            # regression there was invisible to BENCH_r*.json (VERDICT r2
+            # weak #6). Chunked at K=8 to keep the windows short.
+            rows = {}
+            for name, kw in (
+                ("iqn_64px_b128",
+                 dict(workload="iqn", config="64", batch_size=128)),
+                ("sagan_256px_b64",
+                 dict(workload="cnn", config="256", batch_size=64)),
+                ("sagan_512thin_b64_remat",
+                 dict(workload="cnn", config="512thin", batch_size=64,
+                      remat=True)),
+            ):
+                vals = measure_step(steps=32, warmup=2,
+                                    repeats=max(args.repeats, 1),
+                                    steps_per_call=8, **kw)
+                rows[name] = {
+                    "img_s": round(statistics.median(vals), 2),
+                    "min": round(min(vals), 2),
+                    "max": round(max(vals), 2),
+                }
+            extra["workloads"] = rows
     baseline = load_baseline()
     vs = (value / baseline) if baseline else None
     print(json.dumps({

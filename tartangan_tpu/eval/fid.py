@@ -9,9 +9,13 @@ Parity: reference inception_utils.py —
 """
 from __future__ import annotations
 
+import logging
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+logger = logging.getLogger(__name__)
 
 
 @jax.jit
@@ -73,18 +77,33 @@ def numpy_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
         vals = np.sqrt(np.clip(vals, 0.0, None))
         return (vecs * vals) @ vecs.T
 
-    r2 = _psd_sqrt(sigma2 + np.eye(sigma2.shape[0]) * eps)
-    inner = r2 @ (sigma1 + np.eye(sigma1.shape[0]) * eps) @ r2
-    tr_covmean = float(np.sum(np.sqrt(np.clip(
-        np.linalg.eigvalsh((inner + inner.T) / 2.0), 0.0, None))))
+    def _tr_sqrt(s1, s2):
+        r2 = _psd_sqrt(s2)
+        inner = r2 @ s1 @ r2
+        vals = np.linalg.eigvalsh((inner + inner.T) / 2.0)
+        return float(np.sum(np.sqrt(np.clip(vals, 0.0, None)))), float(
+            vals.min(initial=0.0))
+
+    # eps-free first pass; the offset is a *retry* for materially indefinite
+    # inputs only (matching the reference's conditional offset,
+    # inception_utils.py:170-178) — applying it unconditionally biases every
+    # FID by a small constant (ADVICE r2).
+    tr_covmean, min_eig = _tr_sqrt(sigma1, sigma2)
+    if min_eig < -1e-3:
+        logger.info(
+            "FID sqrtm retry with eps=%g offset (min eigenvalue %.3g)",
+            eps, min_eig)
+        eye = np.eye(sigma1.shape[0])
+        tr_covmean, _ = _tr_sqrt(sigma1 + eye * eps, sigma2 + eye * eps)
     diff = mu1 - mu2
     value = float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
                   - 2.0 * tr_covmean)
     if value < 0:
         # numerical noise below the mathematical floor — say so rather
         # than reporting an ambiguous exact 0
-        print(f"FID clamped to 0 (raw {value:.4g}: below numerical "
-              "resolution — distributions match to within noise)")
+        logger.info(
+            "FID clamped to 0 (raw %.4g: below numerical resolution — "
+            "distributions match to within noise)", value)
         value = 0.0
     return value
 
@@ -127,11 +146,13 @@ def robust_frechet(mu, sigma, data_mu, data_sigma):
 
 
 def prepare_inception_metrics(moments_path, dtype=None, no_fid: bool = False,
-                              weights=None):
+                              weights=None, mesh=None):
     """Load the dataset moments and return a closure
     ``get_inception_metrics(sample_fn, num_images, num_splits, use_jax)``
     -> (IS_mean, IS_std, FID) (reference inception_utils.py:285-328).
-    ``weights`` optionally names a ported Inception-weights npz."""
+    ``weights`` optionally names a ported Inception-weights npz. ``mesh``
+    replicates the Inception weights over a device mesh so batch-sharded
+    sample batches stream through under data parallelism."""
     import jax.numpy as jnp
 
     from ..utils.fs import smart_open
@@ -143,6 +164,8 @@ def prepare_inception_metrics(moments_path, dtype=None, no_fid: bool = False,
         data_sigma = np.asarray(data["sigma"])
 
     net = InceptionWrapper(dtype=dtype or jnp.float32, weights=weights)
+    if mesh is not None and mesh.devices.size > 1:
+        net.replicate_over(mesh)
 
     def get_inception_metrics(sample_fn, num_inception_images,
                               num_splits=10, prints=False, use_jax=True):

@@ -46,10 +46,15 @@ class FindImage(GOutputApp):
         target = jnp.asarray(
             np.tile(target[None], (self.args.num_samples, 1, 1, 1)))
 
+        # optimizer map: reference find_image.py:49-52 (Adam/SGD/LBFGS).
+        # LBFGS is optax.lbfgs — its zoom line search is jax-native
+        # (lax.while_loop), so the whole step still jits into one dispatch.
         opt = {
             "adam": optax.adam,
             "sgd": optax.sgd,
+            "lbfgs": optax.lbfgs,
         }[self.args.optimizer](self.args.lr)
+        is_lbfgs = self.args.optimizer == "lbfgs"
 
         if self.args.loss == "mse":
             def recon(a, b):
@@ -91,16 +96,25 @@ class FindImage(GOutputApp):
             z = z * (1.0 - should_clip) + noise * should_clip
             (loss, imgs), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(z)
-            updates, opt_state = opt.update(grads, opt_state, z)
+            if is_lbfgs:
+                # the L-BFGS line search re-evaluates the objective along
+                # the search direction, so it needs the scalar value_fn
+                updates, opt_state = opt.update(
+                    grads, opt_state, z, value=loss, grad=grads,
+                    value_fn=lambda zz: loss_fn(zz)[0])
+            else:
+                updates, opt_state = opt.update(grads, opt_state, z)
             z = optax.apply_updates(z, updates)
             return z, opt_state, loss, imgs
 
         z = self.sample_z(self.args.num_samples)
         opt_state = opt.init(z)
         key = jax.random.PRNGKey(0)
+        self.loss_history = []
         for i in range(self.args.max_steps):
             key, sub = jax.random.split(key)
             z, opt_state, loss, imgs = step(z, opt_state, sub)
+            self.loss_history.append(float(loss))
             if i % self.args.save_freq == 0 or i == self.args.max_steps - 1:
                 self.save_image(
                     np.asarray(imgs, np.float32),

@@ -64,10 +64,14 @@ class SelfAttention2d(nn.Module):
 def _attention(q, k, v, use_pallas: bool):
     """softmax(q k^T) v — un-scaled, matching the reference exactly."""
     if use_pallas:
+        # Narrow fallback: NotImplementedError covers the kernel's own
+        # "not TPU / KV too long" gates, ImportError covers builds without
+        # pallas. A genuine kernel regression must SURFACE, not silently
+        # degrade into the slower XLA path (ADVICE r2).
         try:
             from ..ops.pallas.attention import fused_attention  # noqa: PLC0415
             return fused_attention(q, k, v)
-        except Exception:  # pragma: no cover - non-TPU backends
+        except (NotImplementedError, ImportError):  # pragma: no cover
             pass
     logits = jnp.einsum(
         "bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32

@@ -94,16 +94,24 @@ class Trainer:
         # environment's relay out of pipelined dispatch (docs/PERF.md
         # "readback poison"). Keys are tiny; jit uploads them per call.
         try:
-            with jax.default_device(jax.devices("cpu")[0]):
+            self._key_device = jax.devices("cpu")[0]
+            with jax.default_device(self._key_device):
                 self.root_key = jax.random.PRNGKey(args.seed)
         except RuntimeError:  # no CPU backend registered
+            self._key_device = None
             self.root_key = jax.random.PRNGKey(args.seed)
         self._key = self.root_key
         self.np_rng = np.random.default_rng(args.seed)
 
     # ------------------------------------------------------------- rng utils
     def next_key(self):
-        self._key, sub = jax.random.split(self._key)
+        if self._key_device is not None:
+            # keep the split on the CPU backend even when a caller invokes
+            # next_key from inside another default_device context
+            with jax.default_device(self._key_device):
+                self._key, sub = jax.random.split(self._key)
+        else:
+            self._key, sub = jax.random.split(self._key)
         return sub
 
     # ----------------------------------------------------------------- hooks
@@ -195,6 +203,13 @@ class Trainer:
         # that fits (a shorter trailing chunk would be a new shape ->
         # recompile; documented in train/multi.py::stack_batches)
         num_batches = (len(self.dataset) // self.args.batch_size // k) * k
+        if num_batches == 0:
+            avail = len(self.dataset) // self.args.batch_size
+            raise ValueError(
+                f"dataset yields only {avail} batch(es) of size "
+                f"{self.args.batch_size} but --steps-per-call={k} needs at "
+                f"least {k} per epoch; lower --steps-per-call or "
+                "--batch-size (training would otherwise run zero steps)")
         try:
             self.components.invoke("train_begin", self.steps, logs)
             while self.epoch <= self.args.epochs:
@@ -308,9 +323,15 @@ class Trainer:
             self.next_key(), (n, self.gan_config.latent_dims), jnp.float32)
 
     def sample_g(self, n=None, target_g=False, z=None):
-        """Generate images (NHWC float in [-1,1]) from random or given z."""
+        """Generate images (NHWC float in [-1,1]) from random or given z.
+        Under a multi-device mesh, z is sharded over the data axis when the
+        sample count divides the mesh — the generated batch (and anything
+        downstream, e.g. FID activations) then stays batch-sharded."""
         if z is None:
             z = self.sample_z(n)
+        ndev = int(self.mesh.devices.size)
+        if ndev > 1 and z.shape[0] % ndev == 0:
+            z = jax.device_put(z, self._batch_sharding)
         params = (self.state.target_g_params if target_g
                   else self.state.g_params)
         return self._sample_apply(params, self.state.g_stats, z,

@@ -69,6 +69,42 @@ def test_find_image(trained_run, tmp_path):
     assert os.path.exists(f"{out}_0.png")
 
 
+def test_find_image_lbfgs(trained_run, tmp_path):
+    """LBFGS parity (reference find_image.py:49-52): the optax.lbfgs path
+    jits, converges on a G-generated target, and matches or beats adam at
+    equal step count."""
+    from PIL import Image
+    from tartangan_tpu.explore.find_image import FindImage
+
+    # target produced by the generator itself, so a perfect inversion exists
+    probe = FindImage(FindImage.parse_cli_args(
+        [trained_run, str(tmp_path / "probe" / "img"), "dummy",
+         "--max-steps", "0"]))
+    probe.load_generator()
+    z_true = probe.sample_z(1)
+    imgs = probe.g.apply(probe.g_vars, z_true, train=False)
+    arr = np.asarray((np.clip(np.asarray(imgs[0], np.float32), -1, 1) + 1)
+                     * 127.5, np.uint8)
+    target = tmp_path / "target_g.png"
+    Image.fromarray(arr).save(target)
+
+    losses = {}
+    for name in ("lbfgs", "adam"):
+        out = tmp_path / f"find_{name}" / "img"
+        app = FindImage(FindImage.parse_cli_args(
+            [trained_run, str(out), str(target), "--optimizer", name,
+             "--lr", "0.1" if name == "lbfgs" else "0.5",
+             "--max-steps", "8", "--num-samples", "2",
+             "--save-freq", "100"]))
+        app.run()
+        losses[name] = app.loss_history
+        assert os.path.exists(f"{out}_0.png")
+        assert np.all(np.isfinite(app.loss_history))
+    # both optimizers make progress; lbfgs ends no worse than ~2x adam
+    assert losses["lbfgs"][-1] < losses["lbfgs"][0]
+    assert losses["lbfgs"][-1] <= 2.0 * losses["adam"][-1]
+
+
 def test_find_image_perceptual(trained_run, tmp_path):
     """--vgg engages the Inception-feature perceptual loss (no torch)."""
     from PIL import Image
