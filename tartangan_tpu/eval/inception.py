@@ -5,10 +5,13 @@ Parity: reference inception_utils.py:35-92 (WrapInception: renormalize
 run the net, return pool2048 + logits) and :249-268 (accumulation loop).
 
 TPU design: the normalize+resize+forward is one jitted function; moment
-accumulation is streaming (sum / outer-product sums on device, sharded over
-the data mesh when present) instead of materializing a (N, 2048) matrix on
-host — ``mu``/``sigma`` then come from (sum_x, sum_xxT, n) with a final psum
-under data parallelism (SURVEY.md section 5 'Distributed' row).
+accumulation is streaming (sum / outer-product sums on device) instead of
+materializing a (N, 2048) matrix on host. Under data parallelism the caller
+feeds batch-sharded images (the FID component shards ``sample_g`` over the
+trainer mesh) and replicates the net via ``replicate_over``; GSPMD then
+shards the activation stack and inserts the psums for the axis-0 moment
+reductions (SURVEY.md section 5 'Distributed' row; pinned 1-vs-8-device by
+``tests/test_distributed_equivalence.py::test_fid_moments_match_across_mesh_sizes``).
 """
 from __future__ import annotations
 
@@ -56,6 +59,14 @@ class InceptionWrapper:
             return pool, jax.nn.softmax(logits, axis=-1)
 
         self._forward = forward
+
+    def replicate_over(self, mesh):
+        """Replicate the Inception weights over a device mesh so the jitted
+        forward accepts batch-sharded images (GSPMD then shards the whole
+        activation stack over the data axis and psums the moment sums)."""
+        from ..parallel.mesh import replicated_sharding
+        self.variables = jax.device_put(
+            self.variables, replicated_sharding(mesh))
 
     def __call__(self, images):
         return self._forward(self.variables, images)

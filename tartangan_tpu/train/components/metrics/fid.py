@@ -25,7 +25,8 @@ class FIDComponent(FileBasedMetricsComponent):
                   "eps-offset fallback")
         self.get_inception_metrics = prepare_inception_metrics(
             self.trainer.args.inception_moments,
-            weights=self.trainer.args.inception_weights)
+            weights=self.trainer.args.inception_weights,
+            mesh=self.trainer.mesh)
 
     def on_batch_end(self, steps, logs):
         if steps and self.every(self.trainer.args.fid_freq, steps):
