@@ -60,6 +60,45 @@ def test_pallas_kernel_interpret_matches_reference(rng):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_pallas_backward_interpret_matches_xla_vjp(rng):
+    """The flash-style backward kernel (dq direct, dk/dv scratch-accumulated
+    across q-tiles) must reproduce the XLA einsum-chain VJP exactly."""
+    from tartangan_tpu.ops.pallas.attention import (
+        _attn_bwd_impl,
+        _fused_attention_bwd_xla,
+    )
+    b, lq, lk, ck, cv = 2, 1024, 256, 8, 16  # lq > _TILE_Q -> 2 q-tiles
+    q = jnp.asarray(rng.standard_normal((b, lq, ck)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, lk, ck)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, lk, cv)), jnp.float32)
+    do = jnp.asarray(rng.standard_normal((b, lq, cv)), jnp.float32)
+
+    dq, dk, dv = _attn_bwd_impl(q, k, v, do, interpret=True)
+    rq, rk, rv = _fused_attention_bwd_xla(q, k, v, do)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_pallas_backward_bf16_dtypes(rng):
+    """bf16 q/k/v/do (the TPU training dtypes) round-trip: f32 accumulation
+    inside, outputs cast back to the input dtypes."""
+    from tartangan_tpu.ops.pallas.attention import _attn_bwd_impl
+    b, lq, lk, ck, cv = 1, 512, 128, 8, 16
+    q = jnp.asarray(rng.standard_normal((b, lq, ck)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((b, lk, ck)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((b, lk, cv)), jnp.bfloat16)
+    do = jnp.asarray(rng.standard_normal((b, lq, cv)), jnp.bfloat16)
+    dq, dk, dv = _attn_bwd_impl(q, k, v, do, interpret=True)
+    assert dq.dtype == jnp.bfloat16 and dq.shape == (b, lq, ck)
+    assert dk.dtype == jnp.bfloat16 and dk.shape == (b, lk, ck)
+    assert dv.dtype == jnp.bfloat16 and dv.shape == (b, lk, cv)
+    assert np.isfinite(np.asarray(dq, np.float32)).all()
+
+
 def test_pallas_kernel_unavailable_on_cpu_falls_back():
     from tartangan_tpu.ops.pallas.attention import fused_attention
     with pytest.raises(NotImplementedError):
