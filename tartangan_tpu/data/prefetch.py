@@ -7,10 +7,15 @@ on batch k is dispatched before batch k+1's transfer — so transfer and
 compute overlap with zero extra machinery.
 
 ``depth`` keeps additional transfers in flight ahead of the consumer.
-Measured on this image's tunneled v5e, extra in-flight transfers *degrade*
-throughput (relay head-of-line blocking) and a background-thread variant
-was 3x slower still, so the default is depth=0 (pure serial-async). On a
-directly-attached TPU host raise depth to 1-2.
+Measured HONESTLY (value-fenced sync mode, benchmarks/probe_host_stream.py,
+replacing round 1's retracted deferred-mode numbers): at '128' b128 a lone
+6.3 MB upload takes ~108 ms and the step 38.6 ms; strictly-serial is
+195 ms/step, depth=0 async 65 ms, depth=1 61 ms, depth=2 62 ms, depth=4
+90 ms (head-of-line blocking), a threaded uploader matches depth 1-2
+(61 ms) — so one extra in-flight transfer is the optimum and the DEFAULT.
+The remaining gap to --device-data (61 vs 38 ms/step) is the relay link's
+~105 MB/s upload bandwidth with compute fully hidden behind it — physical,
+not a pipeline artifact (docs/PERF.md "host-streamed input path").
 """
 from __future__ import annotations
 
@@ -42,7 +47,7 @@ class EpochBatcher:
             )
 
 
-def prefetch_to_device(iterator, put_fn, depth: int = 0):
+def prefetch_to_device(iterator, put_fn, depth: int = 1):
     """Yield device batches while keeping ``depth`` async transfers in
     flight ahead of the consumer."""
     buf = deque()
