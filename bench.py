@@ -88,10 +88,12 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
 
     cfg = GAN_CONFIGS[config]
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    parity = F.resolve_parity("auto")  # production default (TPU: on)
     g = Generator(
         cfg,
         input_factory=F.g_input_factory("mlp", "relu"),
-        block_factory=F.g_block_factory("bn", "relu", remat=remat),
+        block_factory=F.g_block_factory("bn", "relu", remat=remat,
+                                        parity=parity),
         output_factory=F.g_output_factory("bn", "relu"),
         dtype=dtype,
     )
@@ -105,7 +107,8 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
         from tartangan_tpu.train.iqn import make_iqn_train_step
         d = IQNDiscriminator(
             cfg,
-            block_factory=F.d_block_factory("bn", "relu", remat=remat),
+            block_factory=F.d_block_factory("bn", "relu", remat=remat,
+                                            parity=parity),
             output_factory=F.iqn_d_output_factory("bn", "relu"),
             dtype=dtype,
         )
@@ -115,7 +118,8 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
     else:
         d = Discriminator(
             cfg,
-            block_factory=F.d_block_factory("bn", "relu", remat=remat),
+            block_factory=F.d_block_factory("bn", "relu", remat=remat,
+                                            parity=parity),
             output_factory=F.d_output_factory("bn", "relu"),
             dtype=dtype,
         )

@@ -1,0 +1,88 @@
+"""Decompose the '128' b128 train step cost by ablation.
+
+Times k=8 chunks of step variants (fixed launch cost ~61 ms subtracted
+via the identity-scan floor): full, no-R1, no-D-step (iters_d=0), and
+iters_d=2. Differences attribute the 37 ms/step. Run alone."""
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import enter_honest_mode  # noqa: E402
+from benchmarks.probe_step_slope import chunk_time  # noqa: E402
+
+
+def main():
+    enter_honest_mode()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from benchmarks.probe_block_traffic import timed_scan
+    from tartangan_tpu.configs import GAN_CONFIGS
+    from tartangan_tpu.models import factories as F
+    from tartangan_tpu.models.pluggan import Discriminator, Generator
+    from tartangan_tpu.train.cnn import make_cnn_train_step
+    from tartangan_tpu.train.common import make_adam
+    from tartangan_tpu.train.multi import chunk_train_step
+    from tartangan_tpu.train.state import GANTrainState
+
+    results = {}
+    cfg = GAN_CONFIGS["128"]
+    dtype = jnp.bfloat16
+    b = 128
+    key = jax.random.PRNGKey(0)
+    rng = np.random.default_rng(0)
+
+    g = Generator(cfg, input_factory=F.g_input_factory("mlp", "relu"),
+                  block_factory=F.g_block_factory("bn", "relu"),
+                  output_factory=F.g_output_factory("bn", "relu"),
+                  dtype=dtype)
+    d = Discriminator(cfg, block_factory=F.d_block_factory("bn", "relu"),
+                      output_factory=F.d_output_factory("bn", "relu"),
+                      dtype=dtype)
+    g_vars = g.init(key, jnp.zeros((2, cfg.latent_dims)), train=True)
+    d_vars = d.init(key, jnp.zeros((2, 128, 128, 3)), train=True)
+    opt_g, opt_d = make_adam(1e-4), make_adam(4e-4)
+    state = GANTrainState(
+        g_params=g_vars["params"], g_stats=g_vars.get("batch_stats", {}),
+        target_g_params=jax.tree_util.tree_map(jnp.copy, g_vars["params"]),
+        d_params=d_vars["params"], d_stats=d_vars.get("batch_stats", {}),
+        opt_g=opt_g.init(g_vars["params"]),
+        opt_d=opt_d.init(d_vars["params"]),
+    )
+    batch = jax.device_put(rng.integers(
+        0, 256, (b, 128, 128, 3), dtype=np.uint8))
+
+    floor = timed_scan(lambda a: a, jnp.ones((8, 128), jnp.bfloat16)) * 8
+    results["launch_floor_ms"] = round(floor, 1)
+
+    variants = {
+        "full": dict(grad_penalty=5.0, iters_d=1),
+        "no_r1": dict(grad_penalty=0.0, iters_d=1),
+        "no_d_step": dict(grad_penalty=5.0, iters_d=0),
+        "iters_d2": dict(grad_penalty=5.0, iters_d=2),
+    }
+    for name, kw in variants.items():
+        step_fn = make_cnn_train_step(
+            g, d, opt_g, opt_d, latent_dims=cfg.latent_dims,
+            ema_factor=1e-3, dtype=dtype, **kw)
+        step_k = jax.jit(chunk_train_step(step_fn, 8, "broadcast"))
+        total = chunk_time(step_k, state, batch, key, 8)
+        results[f"{name}_ms"] = round((total - floor) / 8, 2)
+
+    results["d_step_cost_ms"] = round(
+        results["full_ms"] - results["no_d_step_ms"], 2)
+    results["marginal_d_step_ms"] = round(
+        results["iters_d2_ms"] - results["full_ms"], 2)
+    results["r1_cost_ms"] = round(
+        results["full_ms"] - results["no_r1_ms"], 2)
+
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -137,6 +137,295 @@ class ResidualGeneratorBlock(nn.Module):
         return x + h
 
 
+class FusedResidualGeneratorBlock(nn.Module):
+    """ResidualGeneratorBlock computed by the fused Pallas kernels
+    (ops/pallas/gblock.py) — identical math (reference generator.py:32-62
+    via the norm-act-before-upsample reorder proven bit-exact in round 2),
+    one VMEM pass per conv instead of HBM-materialized upsample/normalize
+    tensors. Training-mode BN with two-pass batch stats (stats fused into
+    kernel A's epilogue); eval mode normalizes with the running averages.
+
+    Supports the production tower shape: upsample, not-first, BatchNorm,
+    leaky-relu, 2-D. The factory falls back to the flax block elsewhere.
+    Param layout is the fused block's own (conv1_*, bn1_*, project_*);
+    ``tests/test_fused_gblock.py::flax_to_fused_params`` maps a flax
+    block's tree onto it.
+    """
+
+    in_dims: int
+    out_dims: int
+    upsample: bool = True
+    first_block: bool = False
+    norm: str = "bn"
+    activation: str = "relu"
+    ndim: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from ..ops.init import torch_bias_uniform, torch_kaiming_uniform
+        from ..ops.pallas.gblock import _gblock_reference, fused_gblock
+        assert (self.upsample and not self.first_block
+                and self.norm == "bn" and self.activation == "relu"
+                and self.ndim == 2), "fused block: unsupported configuration"
+        cin, cout = self.in_dims, self.out_dims
+        w1 = self.param("conv1_kernel", torch_kaiming_uniform,
+                        (3, 3, cin, cout))
+        b1 = self.param("conv1_bias", torch_bias_uniform(9 * cin), (cout,))
+        w2 = self.param("conv2_kernel", torch_kaiming_uniform,
+                        (3, 3, cout, cout))
+        b2 = self.param("conv2_bias", torch_bias_uniform(9 * cout), (cout,))
+        s1 = self.param("bn1_scale", nn.initializers.ones, (cin,))
+        o1 = self.param("bn1_bias", nn.initializers.zeros, (cin,))
+        s2 = self.param("bn2_scale", nn.initializers.ones, (cout,))
+        o2 = self.param("bn2_bias", nn.initializers.zeros, (cout,))
+        if cin != cout:
+            wp = self.param("project_kernel", torch_kaiming_uniform,
+                            (1, 1, cin, cout))[0, 0]
+            bp = self.param("project_bias", torch_bias_uniform(cin), (cout,))
+        else:  # identity shortcut expressed as I-projection (same math)
+            wp = jnp.eye(cin, dtype=jnp.float32)
+            bp = jnp.zeros((cout,), jnp.float32)
+        import jax as _jax
+        ra = {
+            "bn1_mean": self.variable(
+                "batch_stats", "bn1_mean",
+                lambda: jnp.zeros((cin,), jnp.float32)),
+            "bn1_var": self.variable(
+                "batch_stats", "bn1_var",
+                lambda: jnp.ones((cin,), jnp.float32)),
+            "bn2_mean": self.variable(
+                "batch_stats", "bn2_mean",
+                lambda: jnp.zeros((cout,), jnp.float32)),
+            "bn2_var": self.variable(
+                "batch_stats", "bn2_var",
+                lambda: jnp.ones((cout,), jnp.float32)),
+        }
+        params = {"w1": w1, "b1": b1, "w2": w2, "b2": b2, "wp": wp,
+                  "bp": bp, "s1": s1, "o1": o1, "s2": s2, "o2": o2}
+        if train:
+            out, stats = fused_gblock(x.astype(self.dtype), params)
+            m1, v1, m2, v2 = [_jax.lax.stop_gradient(s) for s in stats]
+            if not self.is_initializing():
+                # torch momentum-0.1 EMA, flax convention (layers.py:43)
+                for name, batch in (("bn1_mean", m1), ("bn1_var", v1),
+                                    ("bn2_mean", m2), ("bn2_var", v2)):
+                    ra[name].value = 0.9 * ra[name].value + 0.1 * batch
+        else:
+            out, _ = _gblock_reference(
+                x.astype(self.dtype), params,
+                stats=(ra["bn1_mean"].value, ra["bn1_var"].value,
+                       ra["bn2_mean"].value, ra["bn2_var"].value))
+        return out.astype(self.dtype)
+
+
+class _FoldedBNCore(nn.Module):
+    """Plays ``nn.BatchNorm``'s role for a parity-stacked (B, H, W, 4*C)
+    tensor: statistics are folded over the parity axis so they equal the
+    full-resolution tensor's per-channel stats (ops/parity.py). Param and
+    batch_stats names match ``nn.BatchNorm`` so checkpoints written by
+    the flax blocks load unchanged."""
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, xp, use_running_average: bool = False):
+        from ..ops.parity import folded_moments
+        import jax
+        c = self.features
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+        ra_mean = self.variable("batch_stats", "mean",
+                                lambda: jnp.zeros((c,), jnp.float32))
+        ra_var = self.variable("batch_stats", "var",
+                               lambda: jnp.ones((c,), jnp.float32))
+        if use_running_average:
+            m, v = ra_mean.value, ra_var.value
+        else:
+            # gradients flow through the batch statistics, as in flax's
+            # BatchNorm; the running-average writes are not differentiated
+            m, v = folded_moments(xp, c)
+            if not self.is_initializing():
+                ra_mean.value = (self.momentum * ra_mean.value
+                                 + (1 - self.momentum) * m)
+                ra_var.value = (self.momentum * ra_var.value
+                                + (1 - self.momentum) * v)
+        inv = jax.lax.rsqrt(v + self.epsilon) * scale
+        t4 = lambda a: jnp.tile(a, 4)
+        return xp.astype(jnp.float32) * t4(inv) + t4(bias - m * inv)
+
+
+class _FoldedBNWrap(nn.Module):
+    """Name shim matching ``layers.BatchNorm`` (which nests the flax
+    BatchNorm one level deep), so the param path is
+    ``NormAct_k/BatchNorm_0/BatchNorm_0/...`` either way."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, use_running_average: bool = False):
+        y = _FoldedBNCore(self.features, name="BatchNorm_0")(
+            xp, use_running_average)
+        return y.astype(self.dtype)
+
+
+class _ParityNormAct(nn.Module):
+    """NormAct over parity-stacked channels (folded statistics)."""
+
+    features: int
+    norm: str = "bn"
+    activation: str = "relu"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, train: bool = True):
+        if self.norm == "bn":
+            xp = _FoldedBNWrap(self.features, dtype=self.dtype,
+                               name="BatchNorm_0")(
+                xp, use_running_average=not train)
+        elif self.norm != "id":
+            raise ValueError(f"unknown norm '{self.norm}'")
+        return activation_fn(self.activation)(xp)
+
+
+class _ConvParams(nn.Module):
+    """Bare conv parameters with ``layers.Conv``'s names, shapes and
+    torch-default init — the parity blocks consume the kernel through a
+    weight-packing transform instead of applying it directly."""
+
+    kshape: Tuple[int, ...]
+    fan_in: int
+
+    @nn.compact
+    def __call__(self):
+        from ..ops.init import torch_bias_uniform, torch_kaiming_uniform
+        kernel = self.param("kernel", torch_kaiming_uniform, self.kshape)
+        bias = self.param("bias", torch_bias_uniform(self.fan_in),
+                          (self.kshape[-1],))
+        return kernel, bias
+
+
+def _conv_same(x, w, b=None):
+    import jax
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+class ParityResidualGeneratorBlock(nn.Module):
+    """``ResidualGeneratorBlock`` computed in the parity (sub-pixel)
+    domain — identical math (reference generator.py:32-62), rewritten so
+    every conv fills the MXU's 128-lane tiles at tower widths:
+    ``conv1(up2(h))`` becomes a small-resolution conv with 4x the output
+    channels (ops/parity.py::pack_up_conv), conv2 and the projected
+    shortcut stay channel-stacked, and one depth-to-space at the block
+    boundary restores standard layout. Pure jnp/lax — XLA differentiates
+    through it (R1-safe), unlike the Pallas custom-VJP transcription
+    (ops/pallas/gblock.py), which measures slower (per-grid-program
+    overhead; docs/PERF.md round 3).
+
+    Param tree is identical to the flax block (NormAct_0/Conv_0/
+    NormAct_1/Conv_1/project_input), so checkpoints interoperate.
+    Supported shape: upsample, not-first, 2-D, norm in {bn, id}.
+    """
+
+    in_dims: int
+    out_dims: int
+    upsample: bool = True
+    first_block: bool = False
+    norm: str = "bn"
+    activation: str = "relu"
+    ndim: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from ..ops.parity import (
+            depth_to_space,
+            pack_full_conv,
+            pack_up_conv,
+        )
+        assert (self.upsample and not self.first_block
+                and self.ndim == 2), "parity G block: unsupported shape"
+        cin, cout = self.in_dims, self.out_dims
+        # norm+act commute with nearest upsampling (see the flax block's
+        # reorder note); here the upsample itself is folded into conv1
+        h = NormAct(self.norm, self.activation, self.dtype,
+                    name="NormAct_0")(x, train)
+        w1, b1 = _ConvParams((3, 3, cin, cout), 9 * cin, name="Conv_0")()
+        y1p = _conv_same(h, pack_up_conv(w1), jnp.tile(b1, 4))
+        h2 = _ParityNormAct(cout, self.norm, self.activation, self.dtype,
+                            name="NormAct_1")(y1p, train)
+        h2 = h2.astype(self.dtype)
+        w2, b2 = _ConvParams((3, 3, cout, cout), 9 * cout, name="Conv_1")()
+        y2p = _conv_same(h2, pack_full_conv(w2), jnp.tile(b2, 4))
+        if cin != cout:
+            wp, bp = _ConvParams((1, 1, cin, cout), cin,
+                                 name="project_input")()
+            scp = _conv_same(x, jnp.tile(wp[0, 0], (1, 4))[None, None],
+                             jnp.tile(bp, 4))
+        else:
+            # identity shortcut: all four parity planes of up2(x) are x
+            scp = jnp.concatenate([x] * 4, axis=-1)
+        return depth_to_space(y2p + scp, cout)
+
+
+class ParityResidualDiscriminatorBlock(nn.Module):
+    """``ResidualDiscriminatorBlock`` in the space-to-depth domain
+    (reference discriminator.py:49-95): both full-resolution convs run
+    over channel-stacked parity planes (4x the contraction lanes), and
+    the trailing avg-pool is folded into conv2's weights
+    (ops/parity.py::pack_down_conv) so the block emits half resolution
+    in standard layout directly. The bilinear shortcut is untouched
+    (align_corners sampling has no clean parity form). Pure jnp/lax,
+    so the R1 second-order gradient works through it.
+
+    Param tree matches the flax block; checkpoints interoperate.
+    """
+
+    in_dims: int
+    out_dims: int
+    first_block: bool = False
+    norm: str = "bn"
+    activation: str = "relu"
+    ndim: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        from ..ops.parity import (
+            pack_down_conv,
+            pack_full_conv,
+            space_to_depth,
+        )
+        assert self.ndim == 2, "parity D block: 2-D only"
+        cin, cout = self.in_dims, self.out_dims
+        h = x
+        if not self.first_block:
+            h = NormAct(self.norm, self.activation, self.dtype,
+                        name="NormAct_0")(h, train)
+        hp = space_to_depth(h)
+        w1, b1 = _ConvParams((3, 3, cin, cout), 9 * cin, name="Conv_0")()
+        y1p = _conv_same(hp, pack_full_conv(w1), jnp.tile(b1, 4))
+        h2 = _ParityNormAct(cout, self.norm, self.activation, self.dtype,
+                            name="NormAct_0" if self.first_block
+                            else "NormAct_1")(y1p, train)
+        h2 = h2.astype(self.dtype)
+        w2, b2 = _ConvParams((3, 3, cout, cout), 9 * cout, name="Conv_1")()
+        y2 = _conv_same(h2, pack_down_conv(w2), b2)  # half res, standard
+        x_sc = _shortcut_down(x, self.ndim)
+        if cin != cout:
+            x_sc = Conv(cout, 1, in_features=cin, dtype=self.dtype,
+                        ndim=self.ndim, name="project_input")(x_sc)
+        return x_sc + y2
+
+
 class GeneratorInputMLP(nn.Module):
     """latent -> act(Linear) -> (B, size, size, out) (generator.py:65-80)."""
 

@@ -43,17 +43,61 @@ def g_input_factory(g_base: str, activation: str):
     return factory
 
 
+# Parity (sub-pixel / space-to-depth) conv rewrites fill the MXU's
+# 128-lane tiles at tower widths; the pass-count model (ops/parity.py)
+# says the rewrite never loses for out_dims <= this bound and wins up to
+# 4x below it, while above it conv2's block-structured weights cost more
+# passes than they save.
+PARITY_MAX_DIMS = 64
+
+
+def resolve_parity(choice: str) -> bool:
+    """--parity-blocks {auto,on,off}: 'auto' enables the parity conv
+    rewrites on TPU (where MXU lane occupancy is the binding constraint)
+    and keeps plain flax blocks elsewhere (CPU tests, interpret runs)."""
+    if choice == "on":
+        return True
+    if choice == "off":
+        return False
+    import jax
+    return jax.default_backend() == "tpu"
+
+
 def g_block_factory(norm: str, activation: str, ndim: int = 2,
-                    remat: bool = False):
+                    remat: bool = False, fused: bool = False,
+                    parity: bool = False):
     """``remat=True`` wraps each block in ``nn.remat`` — activations are
     recomputed in the backward pass, trading FLOPs for HBM (useful for the
-    512/1024-px configs at larger batch)."""
+    512/1024-px configs at larger batch). ``parity=True``
+    (--parity-blocks) computes thin tower blocks (upsample, not-first,
+    2-D, out_dims <= PARITY_MAX_DIMS) in the sub-pixel parity domain
+    (blocks.py::ParityResidualGeneratorBlock) — pure-XLA, autodiff-safe.
+    ``fused=True`` (--fused-blocks) instead uses the Pallas kernel
+    transcription (ops/pallas/gblock.py; measured slower, kept as a
+    comparison baseline)."""
     import flax.linen as nn
     cls = (nn.remat(ResidualGeneratorBlock, static_argnums=(2,))
            if remat else ResidualGeneratorBlock)
+    fused_ok = fused and norm == "bn" and activation == "relu" and ndim == 2
+    parity_ok = parity and norm in ("bn", "id") and ndim == 2
 
     def factory(in_dims, out_dims, *, first_block=False, upsample=True,
                 dtype=jnp.float32):
+        if (parity_ok and upsample and not first_block
+                and out_dims <= PARITY_MAX_DIMS):
+            from .blocks import ParityResidualGeneratorBlock
+            return ParityResidualGeneratorBlock(
+                in_dims, out_dims, upsample=upsample,
+                first_block=first_block, norm=norm, activation=activation,
+                ndim=ndim, dtype=dtype,
+            )
+        if fused_ok and upsample and not first_block:
+            from .blocks import FusedResidualGeneratorBlock
+            return FusedResidualGeneratorBlock(
+                in_dims, out_dims, upsample=upsample,
+                first_block=first_block, norm=norm, activation=activation,
+                ndim=ndim, dtype=dtype,
+            )
         return cls(
             in_dims, out_dims, upsample=upsample, first_block=first_block,
             norm=norm, activation=activation, ndim=ndim, dtype=dtype,
@@ -62,12 +106,19 @@ def g_block_factory(norm: str, activation: str, ndim: int = 2,
 
 
 def d_block_factory(norm: str, activation: str, ndim: int = 2,
-                    remat: bool = False):
+                    remat: bool = False, parity: bool = False):
     import flax.linen as nn
     cls = (nn.remat(ResidualDiscriminatorBlock, static_argnums=(2,))
            if remat else ResidualDiscriminatorBlock)
+    parity_ok = parity and norm in ("bn", "id") and ndim == 2
 
     def factory(in_dims, out_dims, *, first_block=False, dtype=jnp.float32):
+        if parity_ok and out_dims <= PARITY_MAX_DIMS:
+            from .blocks import ParityResidualDiscriminatorBlock
+            return ParityResidualDiscriminatorBlock(
+                in_dims, out_dims, first_block=first_block,
+                norm=norm, activation=activation, ndim=ndim, dtype=dtype,
+            )
         return cls(
             in_dims, out_dims, first_block=first_block,
             norm=norm, activation=activation, ndim=ndim, dtype=dtype,

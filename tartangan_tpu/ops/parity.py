@@ -1,0 +1,144 @@
+"""Parity-domain (sub-pixel / space-to-depth) convolution rewrites.
+
+On this chip the GAN tower's thin-channel 3x3 convs (C = 16..64) are
+MXU-pass-bound, not FLOP- or bandwidth-bound: a conv pass occupies
+ceil(K/128) x ceil(N/128) lane/sublane tiles, so N=16 wastes 8x of the
+systolic array (docs/PERF.md round-3 remeasurement: real HBM bandwidth
+is ~730 GB/s, launch-amortized — the convs, not the traffic, dominate
+the step). These rewrites trade spatial positions for channels so K and
+N fill 128 lanes:
+
+- ``conv3x3(up2_nearest(h), w)`` == ``depth_to_space(conv3x3(h, pack_up(w)))``
+  (classic sub-pixel convolution): output parity plane (qy, qx) only
+  reads h[i+oy, j+ox], oy/ox in {-1,0,1}, with weight
+  sum_{d: floor((q+d)/2)=o} w[1+dy, 1+dx]. N grows 4x, M shrinks 4x,
+  and the upsampled intermediate never exists.
+- a full-resolution ``conv3x3`` over channel-stacked parity planes is a
+  small-offset conv with block-structured ``(3, 3, 4C, 4C')`` weights
+  (block (p -> q) of offset o is w[1+d], d = 2o + p - q, present iff
+  both components land in {-1,0,1}).
+- ``avg_pool_2x(conv3x3(x, w))`` == ``conv3x3(space_to_depth(x),
+  pack_down(w))`` — the pool is a mean over output parities, folded into
+  the weights, so the downsampling conv *emits* standard layout.
+
+All pure jnp/lax: XLA differentiates through the packing (it is linear
+in w), so these forms work in the backward pass and under the R1
+second-order gradient, where a custom-VJP Pallas kernel cannot
+(ops/pallas/gblock.py keeps the Pallas transcription as a measured-
+slower comparison baseline).
+
+Used by ``models/blocks.py`` parity block variants (reference semantics
+blocks/generator.py:32-62, blocks/discriminator.py:49-95).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+
+def _pack_up_indices():
+    """(tap (oy, ox), parity q, source tap (dy, dx)) triples for the
+    sub-pixel conv: floor((q + d) / 2) == o per dimension."""
+    out = []
+    for qy in range(2):
+        for qx in range(2):
+            q = 2 * qy + qx
+            for dy in range(-1, 2):
+                for dx in range(-1, 2):
+                    oy, ox = (qy + dy) >> 1, (qx + dx) >> 1
+                    out.append(((oy + 1, ox + 1), q, (dy + 1, dx + 1)))
+    return out
+
+
+def pack_up_conv(w):
+    """(3, 3, Cin, Cout) -> (3, 3, Cin, 4*Cout) sub-pixel weights such
+    that conv3x3(up2_nearest(h), w) == depth_to_space(conv3x3(h, out)).
+    Channel-block index is 2*qy + qx (row-parity major)."""
+    import jax.numpy as jnp
+    cin, cout = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, cin, 4 * cout), w.dtype)
+    for (ky, kx), q, (sy, sx) in _pack_up_indices():
+        out = out.at[ky, kx, :, q * cout:(q + 1) * cout].add(w[sy, sx])
+    return out
+
+
+def _pack_full_indices():
+    out = []
+    for qy in range(2):
+        for qx in range(2):
+            q = 2 * qy + qx
+            for py in range(2):
+                for px in range(2):
+                    p = 2 * py + px
+                    for oy in range(-1, 2):
+                        for ox in range(-1, 2):
+                            dy = 2 * oy + py - qy
+                            dx = 2 * ox + px - qx
+                            if abs(dy) > 1 or abs(dx) > 1:
+                                continue
+                            out.append(((oy + 1, ox + 1), p, q,
+                                        (dy + 1, dx + 1)))
+    return out
+
+
+def pack_full_conv(w):
+    """(3, 3, Cin, Cout) -> (3, 3, 4*Cin, 4*Cout): a full-resolution 3x3
+    conv expressed over channel-stacked parity planes (input parity p at
+    small offset o feeds output parity q iff d = 2o + p - q lands in
+    {-1,0,1} per dimension)."""
+    import jax.numpy as jnp
+    cin, cout = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4 * cin, 4 * cout), w.dtype)
+    for (ky, kx), p, q, (sy, sx) in _pack_full_indices():
+        out = out.at[ky, kx, p * cin:(p + 1) * cin,
+                     q * cout:(q + 1) * cout].set(w[sy, sx])
+    return out
+
+
+def pack_down_conv(w):
+    """(3, 3, Cin, Cout) -> (3, 3, 4*Cin, Cout):
+    avg_pool_2x(conv3x3(x, w)) == conv3x3(space_to_depth(x), out) —
+    the 2x2 mean is a mean over output parities, folded into the
+    weights. The result is already at half resolution in standard
+    layout."""
+    import jax.numpy as jnp
+    cin, cout = w.shape[2], w.shape[3]
+    out = jnp.zeros((3, 3, 4 * cin, cout), w.dtype)
+    for (ky, kx), p, _q, (sy, sx) in _pack_full_indices():
+        out = out.at[ky, kx, p * cin:(p + 1) * cin, :].add(
+            w[sy, sx] * np.float32(0.25))
+    return out
+
+
+def depth_to_space(y, cout):
+    """(B, H, W, 4*C) parity channels -> (B, 2H, 2W, C); channel-block
+    index 2*qy + qx."""
+    import jax.numpy as jnp  # noqa: F401
+    b, h, w, _ = y.shape
+    y = y.reshape(b, h, w, 2, 2, cout)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(b, 2 * h, 2 * w, cout)
+
+
+def space_to_depth(x):
+    """(B, 2H, 2W, C) -> (B, H, W, 4*C) parity channels (inverse of
+    ``depth_to_space``)."""
+    b, h2, w2, c = x.shape
+    h, w = h2 // 2, w2 // 2
+    x = x.reshape(b, h, 2, w, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h, w, 4 * c)
+
+
+def folded_moments(xp, c):
+    """Per-original-channel biased mean/var of a parity-stacked
+    (B, H, W, 4*C) tensor, f32 — every full-resolution position appears
+    exactly once among the parity blocks, so folding the parity axis
+    into the reduction reproduces flax BatchNorm's statistics of the
+    full-resolution tensor."""
+    import jax.numpy as jnp
+    x32 = xp.astype(jnp.float32)
+    b, h, w, _ = x32.shape
+    x32 = x32.reshape(b, h, w, 4, c)
+    mean = jnp.mean(x32, axis=(0, 1, 2, 3))
+    var = jnp.mean(jnp.square(x32), axis=(0, 1, 2, 3)) - jnp.square(mean)
+    return mean, var

@@ -193,8 +193,11 @@ class CNNTrainer(Trainer):
         return Generator(
             self.gan_config,
             input_factory=F.g_input_factory(args.g_base, args.activation),
-            block_factory=F.g_block_factory(args.norm, args.activation,
-                                            remat=args.remat),
+            block_factory=F.g_block_factory(
+                args.norm, args.activation, remat=args.remat,
+                fused=getattr(args, "fused_blocks", False),
+                parity=F.resolve_parity(
+                    getattr(args, "parity_blocks", "auto"))),
             output_factory=F.g_output_factory(args.norm, args.activation),
             dtype=self.dtype,
         )
@@ -203,8 +206,10 @@ class CNNTrainer(Trainer):
         args = self.args
         return Discriminator(
             self.gan_config,
-            block_factory=F.d_block_factory(args.norm, args.activation,
-                                            remat=args.remat),
+            block_factory=F.d_block_factory(
+                args.norm, args.activation, remat=args.remat,
+                parity=F.resolve_parity(
+                    getattr(args, "parity_blocks", "auto"))),
             output_factory=F.d_output_factory(args.norm, args.activation),
             dtype=self.dtype,
         )

@@ -141,8 +141,10 @@ class InfoTrainer(CNNTrainer):
         args = self.args
         return Discriminator(
             self.gan_config,
-            block_factory=F.d_block_factory(args.norm, args.activation,
-                                            remat=args.remat),
+            block_factory=F.d_block_factory(
+                args.norm, args.activation, remat=args.remat,
+                parity=F.resolve_parity(
+                    getattr(args, "parity_blocks", "auto"))),
             output_factory=F.info_d_output_factory(
                 args.norm, args.activation,
                 args.info_cat_dims + args.info_cont_dims),

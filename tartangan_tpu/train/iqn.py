@@ -114,8 +114,10 @@ class IQNTrainer(CNNTrainer):
         args = self.args
         return IQNDiscriminator(
             self.gan_config,
-            block_factory=F.d_block_factory(args.norm, args.activation,
-                                            remat=args.remat),
+            block_factory=F.d_block_factory(
+                args.norm, args.activation, remat=args.remat,
+                parity=F.resolve_parity(
+                    getattr(args, "parity_blocks", "auto"))),
             output_factory=F.iqn_d_output_factory(args.norm, args.activation),
             dtype=self.dtype,
         )

@@ -519,6 +519,16 @@ class Trainer:
         p.add_argument("--remat", action="store_true",
                        help="Rematerialize residual blocks in the backward "
                             "pass (saves HBM at high resolutions)")
+        p.add_argument("--fused-blocks", action="store_true",
+                       help="Compute the generator tower blocks with the "
+                            "fused Pallas kernels (ops/pallas/gblock; "
+                            "measured slower than --parity-blocks, kept "
+                            "as a comparison baseline)")
+        p.add_argument("--parity-blocks", default="auto",
+                       choices=("auto", "on", "off"),
+                       help="Compute thin tower blocks in the sub-pixel "
+                            "parity domain (4x MXU lane occupancy; "
+                            "ops/parity.py). auto = on for TPU")
         # TPU-native flags
         p.add_argument("--steps-per-call", type=int, default=1,
                        help="Fold K train steps into one jitted lax.scan "

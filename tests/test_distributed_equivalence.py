@@ -29,11 +29,11 @@ from tartangan_tpu.train.iqn import make_iqn_train_step
 from tartangan_tpu.train.state import GANTrainState
 
 
-def _build(cfg, workload="cnn"):
+def _build(cfg, workload="cnn", parity=False):
     g = Generator(
         cfg,
         input_factory=F.g_input_factory("mlp", "relu"),
-        block_factory=F.g_block_factory("bn", "relu"),
+        block_factory=F.g_block_factory("bn", "relu", parity=parity),
         output_factory=F.g_output_factory("bn", "relu"),
     )
     key = jax.random.PRNGKey(0)
@@ -42,7 +42,7 @@ def _build(cfg, workload="cnn"):
     if workload == "iqn":
         d = IQNDiscriminator(
             cfg,
-            block_factory=F.d_block_factory("bn", "relu"),
+            block_factory=F.d_block_factory("bn", "relu", parity=parity),
             output_factory=F.iqn_d_output_factory("bn", "relu"),
         )
         d_vars = d.init({"params": key, "iqn": key}, img0, train=True,
@@ -50,7 +50,7 @@ def _build(cfg, workload="cnn"):
     else:
         d = Discriminator(
             cfg,
-            block_factory=F.d_block_factory("bn", "relu"),
+            block_factory=F.d_block_factory("bn", "relu", parity=parity),
             output_factory=F.d_output_factory("bn", "relu"),
         )
         d_vars = d.init(key, img0, train=True)
@@ -107,6 +107,32 @@ def test_step_matches_across_mesh_sizes(rng, workload):
     for a, b in zip(jax.tree_util.tree_leaves(s1.d_stats),
                     jax.tree_util.tree_leaves(s8.d_stats)):
         np.testing.assert_allclose(a, b, atol=1e-3)
+
+
+def test_parity_step_matches_across_mesh_sizes(rng):
+    """The parity-domain block rewrites (the TPU default via
+    --parity-blocks auto) must shard exactly like the flax blocks:
+    folded BatchNorm statistics reduce over the global batch, and the
+    space-to-depth/depth-to-space reshapes stay batch-sharded. Config
+    '16' so the G tower (64 -> 32, upsample) actually routes to
+    ParityResidualGeneratorBlock."""
+    cfg = GAN_CONFIGS["16"]
+    batch = rng.integers(0, 256, (16, cfg.max_size, cfg.max_size, 3),
+                         dtype=np.uint8)
+    key = jax.random.PRNGKey(7)
+
+    from tartangan_tpu.models.blocks import ParityResidualGeneratorBlock
+    gf = F.g_block_factory("bn", "relu", parity=True)
+    assert isinstance(gf(cfg.blocks[0], cfg.blocks[1]),
+                      ParityResidualGeneratorBlock)
+
+    results = {}
+    for n_dev in (1, 8):
+        step, state = _build(cfg, "cnn", parity=True)
+        results[n_dev] = _run_on_mesh(step, state, batch, key,
+                                      make_mesh(n_dev))
+    (s1, m1), (s8, m8) = results[1], results[8]
+    _assert_state_close(s1, s8, m1, m8)
 
 
 def _assert_state_close(s1, s8, m1, m8):
