@@ -1,8 +1,8 @@
-"""Decompose the '128' b128 train step cost by ablation.
+"""Honest '128' b128 step cost with lazy R1 (--r1-interval N).
 
-Times k=8 chunks of step variants (fixed launch cost ~61 ms subtracted
-via the identity-scan floor): full, no-R1, no-D-step (iters_d=0), and
-iters_d=2. Differences attribute the 37 ms/step. Run alone."""
+K=16 chunks (one launch) with the in-scan lax.cond alternation; the
+fixed launch cost is subtracted via the identity-scan floor. Run alone.
+"""
 from __future__ import annotations
 
 import json
@@ -34,20 +34,23 @@ def main():
     cfg = GAN_CONFIGS["128"]
     dtype = jnp.bfloat16
     b = 128
+    k = 16
     key = jax.random.PRNGKey(0)
     rng = np.random.default_rng(0)
+    batch = jax.device_put(rng.integers(
+        0, 256, (b, 128, 128, 3), dtype=np.uint8))
 
-    parity = os.environ.get("PROBE_PARITY", "1") == "1"
+    floor = timed_scan(lambda a: a, jnp.ones((8, 128), jnp.bfloat16)) * 8
+    results["launch_floor_ms"] = round(floor, 1)
+    print("floor", results["launch_floor_ms"], flush=True)
+
     g = Generator(cfg, input_factory=F.g_input_factory("mlp", "relu"),
-                  block_factory=F.g_block_factory("bn", "relu",
-                                                  parity=parity),
+                  block_factory=F.g_block_factory("bn", "relu", parity=True),
                   output_factory=F.g_output_factory("bn", "relu"),
                   dtype=dtype)
-    d = Discriminator(cfg,
-                      block_factory=F.d_block_factory("bn", "relu",
-                                                      parity=parity),
-                      output_factory=F.d_output_factory("bn", "relu"),
-                      dtype=dtype)
+    d = Discriminator(
+        cfg, block_factory=F.d_block_factory("bn", "relu", parity=True),
+        output_factory=F.d_output_factory("bn", "relu"), dtype=dtype)
     g_vars = g.init(key, jnp.zeros((2, cfg.latent_dims)), train=True)
     d_vars = d.init(key, jnp.zeros((2, 128, 128, 3)), train=True)
     opt_g, opt_d = make_adam(1e-4), make_adam(4e-4)
@@ -58,32 +61,23 @@ def main():
         opt_g=opt_g.init(g_vars["params"]),
         opt_d=opt_d.init(d_vars["params"]),
     )
-    batch = jax.device_put(rng.integers(
-        0, 256, (b, 128, 128, 3), dtype=np.uint8))
 
-    floor = timed_scan(lambda a: a, jnp.ones((8, 128), jnp.bfloat16)) * 8
-    results["launch_floor_ms"] = round(floor, 1)
-
-    variants = {
-        "full": dict(grad_penalty=5.0, iters_d=1),
-        "no_r1": dict(grad_penalty=0.0, iters_d=1),
-        "no_d_step": dict(grad_penalty=5.0, iters_d=0),
-        "iters_d2": dict(grad_penalty=5.0, iters_d=2),
-    }
-    for name, kw in variants.items():
-        step_fn = make_cnn_train_step(
+    for interval in (1, 4, 16):
+        step = make_cnn_train_step(
             g, d, opt_g, opt_d, latent_dims=cfg.latent_dims,
-            ema_factor=1e-3, dtype=dtype, **kw)
-        step_k = jax.jit(chunk_train_step(step_fn, 8, "broadcast"))
-        total = chunk_time(step_k, state, batch, key, 8)
-        results[f"{name}_ms"] = round((total - floor) / 8, 2)
-
-    results["d_step_cost_ms"] = round(
-        results["full_ms"] - results["no_d_step_ms"], 2)
-    results["marginal_d_step_ms"] = round(
-        results["iters_d2_ms"] - results["full_ms"], 2)
-    results["r1_cost_ms"] = round(
-        results["full_ms"] - results["no_r1_ms"], 2)
+            ema_factor=1e-3, dtype=dtype, grad_penalty=5.0,
+            r1_interval=interval)
+        chunk = jax.jit(chunk_train_step(
+            step, k, "broadcast",
+            alt_step_fn=getattr(step, "no_r1", None),
+            alt_interval=interval))
+        total = chunk_time(chunk, state, batch, key, k)
+        ms = (total - floor) / k
+        results[f"r1_every_{interval}"] = {
+            "step_ms": round(ms, 2),
+            "img_s": round(b / ms * 1e3, 1),
+        }
+        print(interval, results[f"r1_every_{interval}"], flush=True)
 
     print(json.dumps(results, indent=1))
 

@@ -34,7 +34,7 @@ from .trainer import Trainer
 
 def make_cnn_train_step(g, d, opt_g, opt_d, *, latent_dims, grad_penalty,
                         ema_factor, dtype, sample_z=None, g_rng_name=None,
-                        iters_d: int = 1):
+                        iters_d: int = 1, r1_interval: int = 1):
     """Build the fused CNN GAN step: (state, uint8 batch, rng) -> (state,
     metrics). Mirrors reference trainers/cnn.py:107-156.
 
@@ -44,6 +44,16 @@ def make_cnn_train_step(g, d, opt_g, opt_d, *, latent_dims, grad_penalty,
     updates per generator update (the reference base trainer's intent at
     trainer.py:131 — broken there because no parser defines iters_d) —
     statically unrolled, each with fresh fakes.
+
+    ``r1_interval > 1`` enables lazy R1 regularization (StyleGAN2
+    practice; a deliberate departure from the reference's every-step
+    penalty, opt-in via --r1-interval): the returned step applies R1
+    with weight ``grad_penalty * r1_interval`` and carries a ``.no_r1``
+    attribute — the same step compiled without the double-backward —
+    plus ``.r1_interval``; the trainer/chunker alternates them so the
+    time-averaged regularization pressure is unchanged while the
+    R1 cost (22% of the '128' step, docs/PERF.md) is paid 1/N of the
+    time.
     """
     if sample_z is None:
         def sample_z(key, n):
@@ -52,50 +62,59 @@ def make_cnn_train_step(g, d, opt_g, opt_d, *, latent_dims, grad_penalty,
     def g_rngs(key):
         return {g_rng_name: key} if g_rng_name else None
 
-    def train_step(state, batch_u8, rng):
-        batch_size = batch_u8.shape[0]
-        real = normalize_batch(batch_u8, dtype)
-        rng_zg, k_g2, *d_keys = jax.random.split(rng, 2 + 2 * iters_d)
+    def _make(gp_weight):
+        def train_step(state, batch_u8, rng):
+            batch_size = batch_u8.shape[0]
+            real = normalize_batch(batch_u8, dtype)
+            rng_zg, k_g2, *d_keys = jax.random.split(rng, 2 + 2 * iters_d)
 
-        d_params = state.d_params
-        d_stats = state.d_stats
-        opt_d_state = state.opt_d
-        g_stats1 = state.g_stats
-        d_total = gp = jnp.float32(0.0)
-        for it in range(iters_d):
-            # ---- D step (cnn.py:113-137)
-            z = sample_z(d_keys[2 * it], batch_size)
-            fake, g_stats1 = apply_model(
-                g, state.g_params, g_stats1, z,
-                rngs=g_rngs(d_keys[2 * it + 1]))
-            fake = jax.lax.stop_gradient(fake)
+            d_params = state.d_params
+            d_stats = state.d_stats
+            opt_d_state = state.opt_d
+            g_stats1 = state.g_stats
+            d_total = gp = jnp.float32(0.0)
+            for it in range(iters_d):
+                # ---- D step (cnn.py:113-137)
+                z = sample_z(d_keys[2 * it], batch_size)
+                fake, g_stats1 = apply_model(
+                    g, state.g_params, g_stats1, z,
+                    rngs=g_rngs(d_keys[2 * it + 1]))
+                fake = jax.lax.stop_gradient(fake)
 
-            def d_loss_fn(d_params, d_stats=d_stats, fake=fake):
-                def d_real_sum(x):
-                    logits, stats = apply_model(d, d_params, d_stats, x)
-                    return (jnp.sum(logits.astype(jnp.float32)),
-                            (logits, stats))
+                def d_loss_fn(d_params, d_stats=d_stats, fake=fake):
+                    def d_real_sum(x):
+                        logits, stats = apply_model(d, d_params, d_stats, x)
+                        return (jnp.sum(logits.astype(jnp.float32)),
+                                (logits, stats))
 
-                if grad_penalty:
-                    grads_x, (p_real, d_stats1) = jax.grad(
-                        d_real_sum, has_aux=True)(real)
-                    gp = jnp.mean(jnp.sum(
-                        jnp.square(grads_x.astype(jnp.float32)).reshape(
-                            batch_size, -1), axis=1))
-                else:
-                    _, (p_real, d_stats1) = d_real_sum(real)
-                    gp = jnp.float32(0.0)
-                p_fake, d_stats2 = apply_model(d, d_params, d_stats1, fake)
-                p_all = jnp.concatenate([p_real, p_fake], axis=0)
-                loss = bce_with_logits(p_all, bce_labels(batch_size))
-                total = loss + grad_penalty * gp
-                return total, (d_stats2, gp)
+                    if gp_weight:
+                        grads_x, (p_real, d_stats1) = jax.grad(
+                            d_real_sum, has_aux=True)(real)
+                        gp = jnp.mean(jnp.sum(
+                            jnp.square(grads_x.astype(jnp.float32)).reshape(
+                                batch_size, -1), axis=1))
+                    else:
+                        _, (p_real, d_stats1) = d_real_sum(real)
+                        gp = jnp.float32(0.0)
+                    p_fake, d_stats2 = apply_model(
+                        d, d_params, d_stats1, fake)
+                    p_all = jnp.concatenate([p_real, p_fake], axis=0)
+                    loss = bce_with_logits(p_all, bce_labels(batch_size))
+                    total = loss + gp_weight * gp
+                    return total, (d_stats2, gp)
 
-            (d_total, (d_stats, gp)), d_grads = jax.value_and_grad(
-                d_loss_fn, has_aux=True)(d_params)
-            d_updates, opt_d_state = opt_d.update(
-                d_grads, opt_d_state, d_params)
-            d_params = optax.apply_updates(d_params, d_updates)
+                (d_total, (d_stats, gp)), d_grads = jax.value_and_grad(
+                    d_loss_fn, has_aux=True)(d_params)
+                d_updates, opt_d_state = opt_d.update(
+                    d_grads, opt_d_state, d_params)
+                d_params = optax.apply_updates(d_params, d_updates)
+            return _finish_step(state, d_params, d_stats, opt_d_state,
+                                g_stats1, rng_zg, k_g2, batch_size,
+                                d_total, gp)
+        return train_step
+
+    def _finish_step(state, d_params, d_stats, opt_d_state, g_stats1,
+                     rng_zg, k_g2, batch_size, d_total, gp):
         d_stats2 = d_stats
 
         # ---- G step (cnn.py:140-149)
@@ -125,7 +144,12 @@ def make_cnn_train_step(g, d, opt_g, opt_d, *, latent_dims, grad_penalty,
         metrics = {"g_loss": g_loss, "d_loss": d_total, "gp": gp}
         return new_state, metrics
 
-    return train_step
+    if r1_interval > 1 and grad_penalty:
+        step = _make(grad_penalty * r1_interval)
+        step.no_r1 = _make(0.0)
+        step.r1_interval = r1_interval
+        return step
+    return _make(grad_penalty)
 
 
 class CNNTrainer(Trainer):
@@ -181,8 +205,11 @@ class CNNTrainer(Trainer):
             )
         self.state = self.put_state(state)
 
-        self._train_step = jax.jit(
-            self.make_train_step(), donate_argnums=(0,))
+        step_fn = self.make_train_step()
+        self._train_step = jax.jit(step_fn, donate_argnums=(0,))
+        self._r1_interval = getattr(step_fn, "r1_interval", 1)
+        if getattr(step_fn, "no_r1", None) is not None:
+            self._train_step_alt = jax.jit(step_fn.no_r1, donate_argnums=(0,))
         self._sample_apply = jax.jit(
             lambda params, stats, z, rngs: apply_model(
                 self.g, params, stats, z, rngs=rngs or None)[0])
@@ -228,6 +255,7 @@ class CNNTrainer(Trainer):
             ema_factor=self.args.lr_target_g,
             dtype=self.dtype,
             iters_d=self.args.iters_d,
+            r1_interval=getattr(self.args, "r1_interval", 1),
         )
 
 

@@ -32,12 +32,21 @@ from __future__ import annotations
 import jax
 
 
-def chunk_train_step(step_fn, steps_per_call: int, batch_mode: str):
+def chunk_train_step(step_fn, steps_per_call: int, batch_mode: str,
+                     alt_step_fn=None, alt_interval: int = 1):
     """Wrap ``step_fn(state, batch, rng) -> (state, metrics)`` into a
     ``lax.scan`` over ``steps_per_call`` steps (one device dispatch).
 
     ``batch_mode``: 'broadcast' passes ``inputs`` unchanged to every inner
     step; 'scan' slices a leading (K, ...) axis off ``inputs``.
+
+    ``alt_step_fn`` (with ``alt_interval > 1``) runs on every inner step
+    whose chunk-local index is NOT a multiple of ``alt_interval``; the
+    primary ``step_fn`` runs on the multiples. Both branches compile once
+    and must return identical tree structures — used for lazy R1
+    regularization (train/cnn.py ``r1_interval``). Indices are
+    chunk-local, so the cadence is exact when ``steps_per_call`` is a
+    multiple of ``alt_interval`` (the trainer warns otherwise).
     """
     if steps_per_call < 1:
         raise ValueError(f"steps_per_call must be >= 1: {steps_per_call}")
@@ -45,17 +54,24 @@ def chunk_train_step(step_fn, steps_per_call: int, batch_mode: str):
         raise ValueError(f"unknown batch_mode: {batch_mode}")
 
     def multi_step(state, inputs, rng):
+        import jax.numpy as jnp
+
         def body(carry, xs):
             st, key = carry
+            i, x = xs
             key, sub = jax.random.split(key)
-            batch = inputs if batch_mode == "broadcast" else xs
-            st, metrics = step_fn(st, batch, sub)
+            batch = inputs if batch_mode == "broadcast" else x
+            if alt_step_fn is None:
+                st, metrics = step_fn(st, batch, sub)
+            else:
+                st, metrics = jax.lax.cond(
+                    i % alt_interval == 0, step_fn, alt_step_fn,
+                    st, batch, sub)
             return (st, key), metrics
 
-        xs = None if batch_mode == "broadcast" else inputs
-        (state, _), metrics = jax.lax.scan(
-            body, (state, rng), xs,
-            length=steps_per_call if xs is None else None)
+        idx = jnp.arange(steps_per_call)
+        xs = (idx, None) if batch_mode == "broadcast" else (idx, inputs)
+        (state, _), metrics = jax.lax.scan(body, (state, rng), xs)
         return state, metrics
 
     return multi_step

@@ -157,11 +157,20 @@ class Trainer:
         sampler = make_device_sampler(
             images.shape, self.dataset.crop_size, self.args.batch_size)
         self._archive = jax.device_put(images, archive_sharding(self.mesh))
-        step = wrap_step_with_device_data(
-            self.make_train_step(), sampler, self._batch_sharding)
+        base = self.make_train_step()
+        wrap = lambda fn: wrap_step_with_device_data(
+            fn, sampler, self._batch_sharding)
+        step = wrap(base)
+        alt = getattr(base, "no_r1", None)
         if self.steps_per_call > 1:
             from .multi import chunk_train_step
-            step = chunk_train_step(step, self.steps_per_call, "broadcast")
+            step = chunk_train_step(
+                step, self.steps_per_call, "broadcast",
+                alt_step_fn=wrap(alt) if alt is not None else None,
+                alt_interval=getattr(base, "r1_interval", 1))
+        elif alt is not None:
+            # k == 1: alternate host-side on the global step counter
+            self._device_step_alt = jax.jit(wrap(alt), donate_argnums=(0,))
         self._device_step = jax.jit(step, donate_argnums=(0,))
 
     # ------------------------------------------------------------ train loop
@@ -199,6 +208,12 @@ class Trainer:
         progress = ProgressLine(newlines=self.args.log_progress_newlines)
         k = self.steps_per_call
         self._warn_chunk_cadence(k)
+        r1n = getattr(self.args, "r1_interval", 1)
+        if r1n > 1 and k > 1 and k % r1n != 0 and not self.args.quiet_logs:
+            print(f"warning: --steps-per-call {k} is not a multiple of "
+                  f"--r1-interval {r1n}; the R1 cadence restarts at each "
+                  "chunk boundary (slightly more frequent than every "
+                  f"{r1n} steps)")
         # with chunking, an epoch runs the largest multiple of K batches
         # that fits (a shorter trailing chunk would be a new shape ->
         # recompile; documented in train/multi.py::stack_batches)
@@ -271,14 +286,23 @@ class Trainer:
         scalars — () leaves, or (K,) stacked — with no host sync here;
         callers convert only when they actually log. ``batch`` is None
         under --device-data: sampling happens inside the step."""
+        # lazy R1 at --steps-per-call 1: alternate the two compiled steps
+        # host-side on the global step counter (chunked paths alternate
+        # in-graph via chunk_train_step's alt_step_fn)
+        lazy_off = (getattr(self, "_r1_interval", 1) > 1
+                    and self.steps % self._r1_interval != 0)
         if batch is None:
-            self.state, metrics = self._device_step(
+            fn = (self._device_step_alt
+                  if lazy_off and self.steps_per_call == 1
+                  else self._device_step)
+            self.state, metrics = fn(
                 self.state, self._archive, self.next_key())
         elif self.steps_per_call > 1:
             self.state, metrics = self._stacked_step(
                 self.state, batch, self.next_key())
         else:
-            self.state, metrics = self._train_step(
+            fn = self._train_step_alt if lazy_off else self._train_step
+            self.state, metrics = fn(
                 self.state, batch, self.next_key())
         return metrics
 
@@ -287,9 +311,12 @@ class Trainer:
         """Jitted K-step chunk over stacked (K, B, ...) host batches."""
         if getattr(self, "_stacked_step_fn", None) is None:
             from .multi import chunk_train_step
+            base = self.make_train_step()
             self._stacked_step_fn = jax.jit(
                 chunk_train_step(
-                    self.make_train_step(), self.steps_per_call, "scan"),
+                    base, self.steps_per_call, "scan",
+                    alt_step_fn=getattr(base, "no_r1", None),
+                    alt_interval=getattr(base, "r1_interval", 1)),
                 donate_argnums=(0,))
         return self._stacked_step_fn
 
@@ -514,6 +541,15 @@ class Trainer:
                        help="Capture a JAX device trace into this directory")
         p.add_argument("--timing", action="store_true",
                        help="Log images/sec throughput to the metrics logs")
+        p.add_argument("--r1-interval", type=int, default=1,
+                       help="Lazy R1 regularization (StyleGAN2 practice; "
+                            "departs from the reference's every-step "
+                            "penalty): apply the R1 double-backward every "
+                            "N steps with weight grad_penalty*N — the "
+                            "penalty is 22%% of the '128' step cost "
+                            "(docs/PERF.md). 1 = exact reference "
+                            "semantics. Best with --steps-per-call a "
+                            "multiple of N")
         p.add_argument("--iters-d", type=int, default=1,
                        help="Discriminator updates per generator update")
         p.add_argument("--remat", action="store_true",
