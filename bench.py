@@ -49,7 +49,7 @@ def enter_honest_mode():
 
 def measure_step(config="128", batch_size=128, steps=50, warmup=5,
                  repeats=3, tp=0, steps_per_call=1, workload="cnn",
-                 remat=False):
+                 remat=False, r1_interval=1):
     """Time the fused train step (device-bound ceiling).
 
     Returns a list of ``repeats`` img/s values from consecutive timing
@@ -134,14 +134,18 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
         opt_g=opt_g.init(g_vars["params"]),
         opt_d=opt_d.init(d_vars["params"]),
     )
+    step_kw = {"r1_interval": r1_interval} if r1_interval > 1 else {}
     base_step = make_train_step(
         g, d, opt_g, opt_d,
         latent_dims=cfg.latent_dims, grad_penalty=5.0,
-        ema_factor=1e-3, dtype=dtype,
+        ema_factor=1e-3, dtype=dtype, **step_kw,
     )
     if steps_per_call > 1:
         from tartangan_tpu.train.multi import chunk_train_step
-        base_step = chunk_train_step(base_step, steps_per_call, "broadcast")
+        base_step = chunk_train_step(
+            base_step, steps_per_call, "broadcast",
+            alt_step_fn=getattr(base_step, "no_r1", None),
+            alt_interval=getattr(base_step, "r1_interval", 1))
     step = jax.jit(base_step, donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
@@ -378,10 +382,16 @@ def main():
                 ("sagan_512thin_b64_remat",
                  dict(workload="cnn", config="512thin", batch_size=64,
                       remat=True)),
+                # lazy R1 (--r1-interval 16): a schedule change, not just
+                # faster execution — reported as its own row, never as
+                # the reference-semantics headline (docs/PERF.md)
+                ("sagan_128px_b128_r1every16",
+                 dict(workload="cnn", config="128", batch_size=128,
+                      r1_interval=16, steps_per_call=16)),
             ):
                 vals = measure_step(steps=32, warmup=2,
                                     repeats=max(args.repeats, 1),
-                                    steps_per_call=8, **kw)
+                                    **{"steps_per_call": 8, **kw})
                 rows[name] = {
                     "img_s": round(statistics.median(vals), 2),
                     "min": round(min(vals), 2),

@@ -6,7 +6,7 @@ from tartangan_tpu.train.cnn import CNNTrainer
 
 def test_orbax_checkpoint_roundtrip(tiny_archive, tmp_path):
     argv = [
-        tiny_archive, "--config", "16", "--batch-size", "8",
+        tiny_archive, "--config", "8", "--batch-size", "8",
         "--epochs", "1", "--output", str(tmp_path / "out"),
         "--gen-freq", "100", "--run-id", "orb",
         "--dtype", "f32", "--quiet-logs",

@@ -105,9 +105,33 @@ def test_find_image_lbfgs(trained_run, tmp_path):
     assert losses["lbfgs"][-1] <= 2.0 * losses["adam"][-1]
 
 
-def test_find_image_perceptual(trained_run, tmp_path):
-    """--vgg engages the Inception-feature perceptual loss (no torch)."""
+def test_find_image_perceptual(trained_run, tmp_path, monkeypatch):
+    """--vgg engages the Inception-feature perceptual path: renormalize,
+    299-resize, flax intermediates capture at --perceptual-layers, and the
+    pixel-loss replacement. The heavy InceptionV3 backbone is stubbed with
+    a tiny module exposing the same capture surface (tracing + compiling
+    the real fwd+bwd costs ~40 s on this 1-core box); the real backbone's
+    numerics are covered by the FID/weight-port tests."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
     from PIL import Image
+    from tartangan_tpu.models import inception as minc
+
+    class _TinyBackbone(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.avg_pool(x, (16, 16), (16, 16))
+            return nn.Conv(4, (3, 3), name="Mixed_5b")(x)
+
+    def _tiny_init(dtype=jnp.float32, seed=0):
+        m = _TinyBackbone()
+        return m, m.init(jax.random.PRNGKey(seed),
+                         jnp.zeros((1, 299, 299, 3)))
+
+    monkeypatch.setattr(minc, "init_inception", _tiny_init)
+    monkeypatch.setattr(minc, "resolve_pretrained",
+                        lambda v, w=None: (v, False))
     from tartangan_tpu.explore.find_image import FindImage
     target = tmp_path / "target.png"
     rng = np.random.default_rng(4)

@@ -10,7 +10,7 @@ from tartangan_tpu.train.info import InfoTrainer
 
 def test_info_encode_roundtrip(tiny_archive, tmp_path):
     argv = [
-        tiny_archive, "--config", "16", "--batch-size", "8",
+        tiny_archive, "--config", "8", "--batch-size", "8",
         "--epochs", "1", "--output", str(tmp_path / "out"),
         "--gen-freq", "100", "--run-id", "enc",
         "--dtype", "f32", "--quiet-logs",

@@ -20,7 +20,7 @@ from tartangan_tpu.train.state import GANTrainState
 
 def _train(tiny_archive, tmp_path, run_id, iters_d):
     argv = [
-        tiny_archive, "--config", "16", "--batch-size", "8",
+        tiny_archive, "--config", "8", "--batch-size", "8",
         "--epochs", "1", "--output", str(tmp_path / "out"),
         "--gen-freq", "100", "--run-id", run_id,
         "--dtype", "f32", "--quiet-logs", "--seed", "3",

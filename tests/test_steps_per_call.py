@@ -93,7 +93,7 @@ def test_cnn_trainer_steps_per_call_end_to_end(tiny_archive, tmp_path,
                                                device_data):
     from tartangan_tpu.train.cnn import CNNTrainer
     argv = [
-        tiny_archive, "--config", "16", "--batch-size", "8",
+        tiny_archive, "--config", "8", "--batch-size", "8",
         "--epochs", "2", "--output", str(tmp_path / "out"),
         "--gen-freq", "2", "--checkpoint-freq", "4",
         "--run-id", "spc", "--dtype", "f32", "--quiet-logs",
@@ -121,7 +121,7 @@ def test_steps_per_call_deterministic(tiny_archive, tmp_path):
 
     def run(run_id):
         trainer = CNNTrainer.create_from_cli([
-            tiny_archive, "--config", "16", "--batch-size", "8",
+            tiny_archive, "--config", "8", "--batch-size", "8",
             "--epochs", "1", "--output", str(tmp_path / run_id),
             "--gen-freq", "100", "--checkpoint-freq", "100",
             "--run-id", run_id, "--dtype", "f32", "--quiet-logs",
@@ -139,7 +139,7 @@ def test_text_trainer_rejects_steps_per_call(tmp_path):
     corpus = tmp_path / "corpus.txt"
     corpus.write_text("hello world " * 64)
     trainer = TextCNNTrainer.create_from_cli([
-        str(corpus), "--config", "16", "--batch-size", "4",
+        str(corpus), "--config", "8", "--batch-size", "4",
         "--output", str(tmp_path / "out"), "--run-id", "t",
         "--quiet-logs", "--steps-per-call", "2"])
     with pytest.raises(NotImplementedError):

@@ -22,7 +22,7 @@ def test_folder_dataset_training_with_cache(tmp_path):
     _write_images(img_dir)
     cache_tpl = str(tmp_path / "cache" / "{root}_{size}.pkl")
     argv = [
-        str(img_dir), "--config", "16", "--batch-size", "8",
+        str(img_dir), "--config", "8", "--batch-size", "8",
         "--epochs", "1", "--output", str(tmp_path / "out"),
         "--gen-freq", "100", "--run-id", "folder",
         "--dtype", "f32", "--quiet-logs",
