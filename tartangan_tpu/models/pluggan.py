@@ -66,6 +66,10 @@ class Generator(nn.Module):
     block_factory: Optional[Callable] = None
     output_factory: Optional[Callable] = None
     dtype: Dtype = jnp.float32
+    # G is only ever differentiated first-order, so the Pallas attention
+    # kernel (a jax.custom_vjp) is safe here — unlike in D, which sits
+    # under the R1 second-order gradient
+    attn_use_pallas: bool = True
 
     @property
     def max_size(self) -> int:
@@ -95,7 +99,8 @@ class Generator(nn.Module):
                     dtype=self.dtype,
                 ))
             if cfg.attention and block_i in cfg.attention:
-                blocks.append(SelfAttention2d(out_dims, dtype=self.dtype))
+                blocks.append(SelfAttention2d(out_dims, dtype=self.dtype,
+                                 use_pallas=self.attn_use_pallas))
             in_dims = out_dims
         self.blocks = blocks
         self.output_block = output_factory(in_dims, cfg.data_dims, self.dtype)
@@ -115,6 +120,11 @@ class Discriminator(nn.Module):
     block_factory: Optional[Callable] = None
     output_factory: Optional[Callable] = None
     dtype: Dtype = jnp.float32
+    # the R1 gradient penalty differentiates D twice; jax.custom_vjp (the
+    # Pallas attention kernel) cannot sit under a second-order gradient,
+    # so D defaults to the XLA attention path. Set True only when training
+    # without --grad-penalty.
+    attn_use_pallas: bool = False
 
     @property
     def max_size(self) -> int:
@@ -138,7 +148,8 @@ class Discriminator(nn.Module):
                 in_dims, out_dims, first_block=first_block, dtype=self.dtype,
             ))
             if cfg.attention and block_i in cfg.attention:
-                blocks.append(SelfAttention2d(out_dims, dtype=self.dtype))
+                blocks.append(SelfAttention2d(out_dims, dtype=self.dtype,
+                                 use_pallas=self.attn_use_pallas))
             in_dims = out_dims
             first_block = False
         self.blocks = blocks
@@ -164,6 +175,7 @@ class IQNDiscriminator(nn.Module):
     block_factory: Optional[Callable] = None
     output_factory: Optional[Callable] = None
     dtype: Dtype = jnp.float32
+    attn_use_pallas: bool = False  # see Discriminator (R1 double-grad)
 
     @property
     def max_size(self) -> int:
@@ -183,7 +195,8 @@ class IQNDiscriminator(nn.Module):
                 in_dims, out_dims, first_block=False, dtype=self.dtype,
             ))
             if cfg.attention and block_i in cfg.attention:
-                blocks.append(SelfAttention2d(out_dims, dtype=self.dtype))
+                blocks.append(SelfAttention2d(out_dims, dtype=self.dtype,
+                                 use_pallas=self.attn_use_pallas))
             in_dims = out_dims
         self.blocks = blocks
         self.output_block = output_factory(in_dims, 1, self.dtype)

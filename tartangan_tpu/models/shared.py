@@ -143,6 +143,10 @@ class _SharedBase(nn.Module):
     activation: str = "relu"
     g_base: str = "mlp"
     dtype: Dtype = jnp.float32
+    # D classes sit under the R1 second-order gradient, which cannot pass
+    # through the Pallas attention custom_vjp — default to XLA attention
+    # (models/pluggan.py has the same field; G could enable it safely)
+    attn_use_pallas: bool = False
 
     @property
     def max_size(self) -> int:
@@ -176,7 +180,8 @@ class SharedGenerator(_SharedBase):
             )(x, bank, train)
             apply_norm = True
             if cfg.attention and block_i in cfg.attention:
-                x = SelfAttention2d(out_dims, dtype=self.dtype)(x, train)
+                x = SelfAttention2d(out_dims, dtype=self.dtype,
+                    use_pallas=self.attn_use_pallas)(x, train)
             in_dims = out_dims
         return GeneratorOutput(
             in_dims, cfg.data_dims, norm=self.norm,
@@ -202,7 +207,8 @@ class SharedDiscriminator(_SharedBase):
             )(x, bank, train)
             apply_norm = True
             if cfg.attention and block_i in cfg.attention:
-                x = SelfAttention2d(out_dims, dtype=self.dtype)(x, train)
+                x = SelfAttention2d(out_dims, dtype=self.dtype,
+                    use_pallas=self.attn_use_pallas)(x, train)
             in_dims = out_dims
         return DiscriminatorOutput(
             in_dims, 1, norm=self.norm, activation=self.activation,
@@ -228,7 +234,8 @@ class SharedIQNDiscriminator(_SharedBase):
             )(x, bank, train)
             apply_norm = True
             if cfg.attention and block_i in cfg.attention:
-                x = SelfAttention2d(out_dims, dtype=self.dtype)(x, train)
+                x = SelfAttention2d(out_dims, dtype=self.dtype,
+                    use_pallas=self.attn_use_pallas)(x, train)
             in_dims = out_dims
         return IQNDiscriminatorOutput(
             in_dims, 1, norm=self.norm, activation=self.activation,

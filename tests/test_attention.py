@@ -111,3 +111,51 @@ def test_pallas_kernel_unavailable_on_cpu_falls_back():
     variables = mod.init(jax.random.PRNGKey(0), x)
     out = mod.apply(variables, x)
     assert out.shape == x.shape
+
+
+def test_r1_double_grad_routes_attention_to_xla(rng):
+    """jax.custom_vjp (the Pallas attention kernel) cannot sit under a
+    second-order gradient, and D is differentiated twice by the R1
+    penalty — so the D builders must default the attention blocks to the
+    XLA path. The Pallas gate falls back silently on CPU, so this failure
+    mode only surfaces on TPU (it broke the 512thin bench row); this test
+    pins the structural guarantee plus an R1 double-grad smoke through an
+    attention-bearing D on the config that has attention ('test128')."""
+    from tartangan_tpu.configs import GAN_CONFIGS
+    from tartangan_tpu.models import factories as F
+    from tartangan_tpu.models.pluggan import (
+        Discriminator,
+        Generator,
+        IQNDiscriminator,
+    )
+    from tartangan_tpu.models.shared import SharedDiscriminator
+
+    cfg = GAN_CONFIGS["test128"]
+    assert cfg.attention, "test128 must carry attention for this test"
+    d = Discriminator(
+        cfg,
+        block_factory=F.d_block_factory("bn", "relu"),
+        output_factory=F.d_output_factory("bn", "relu"),
+    )
+    assert d.attn_use_pallas is False
+    assert IQNDiscriminator.attn_use_pallas is False
+    assert SharedDiscriminator.attn_use_pallas is False
+    # G is only ever differentiated first-order; it keeps the kernel
+    assert Generator.attn_use_pallas is True
+
+    x = jnp.asarray(rng.standard_normal(
+        (2, cfg.max_size, cfg.max_size, 3)), jnp.float32)
+    d_vars = d.init(jax.random.PRNGKey(0), x, train=True)
+
+    def r1(params):
+        def d_sum(x):
+            out, _ = d.apply(
+                {"params": params, "batch_stats": d_vars["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32))
+        gx = jax.grad(d_sum)(x)
+        return jnp.sum(jnp.square(gx))
+
+    grads = jax.grad(r1)(d_vars["params"])
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
