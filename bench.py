@@ -61,10 +61,11 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
     tensor-parallel weight sharding (tp=1 on a single chip exercises the
     TP machinery degenerately — useful to confirm zero placement overhead).
     ``steps_per_call>1`` folds K steps into one lax.scan dispatch
-    (train/multi.py) — the framework's production execution mode; on this
-    relayed TPU it is ~30x the single-dispatch number because one train
-    step's device time (~80us at config 128 b128) is far below the
-    per-dispatch overhead.
+    (train/multi.py) — the framework's production execution mode: the
+    chunk amortizes the relay's ~60-67 ms fixed launch+fence cost over K
+    steps (docs/PERF.md round-3 chip model). ``r1_interval>1`` measures
+    the lazy-R1 schedule (a documented semantics change, never the
+    reference-parity headline).
     """
     import jax
     import jax.numpy as jnp

@@ -109,11 +109,11 @@ class ResidualGeneratorBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        # TPU traffic optimization: norm+act commute EXACTLY with nearest
+        # TPU optimization: norm+act commute EXACTLY with nearest
         # upsampling (pointwise ops on repeated values; batch stats of the
         # repeated tensor equal those of the source), so apply them at the
-        # small resolution — 4x less HBM traffic for the normalize pass on
-        # this bandwidth-bound chip (docs/PERF.md). Same values bit-for-bit
+        # small resolution — 4x less work and traffic for the normalize
+        # pass (measured +2.2%, docs/PERF.md). Same values bit-for-bit
         # as the reference's upsample-first order (generator.py:56-62).
         if self.upsample and not self.first_block:
             h = NormAct(self.norm, self.activation, self.dtype)(x, train)

@@ -1,13 +1,12 @@
 """Step chunking: run K train steps per device dispatch via ``lax.scan``.
 
-TPU rationale: the models here are small enough that one fused train step
-executes in tens of microseconds on the MXU — per-dispatch overhead (host
-Python, runtime, and on relayed setups the network round-trip) dominates
-wall clock. Folding K steps into ONE jitted program amortizes that
-overhead K-fold; measured on the tunneled v5e, config '128' b128 went from
-~1.6 ms/step (single dispatch) to ~0.08 ms/step at K=32 (docs/PERF.md).
-The reference has no equivalent — its loop crosses the host boundary
-several times per batch (reference trainers/cnn.py:109,153-156).
+TPU rationale: every launch of a compiled program through this relay
+carries a ~60-67 ms fixed launch+fence cost (docs/PERF.md round-3 chip
+model; on directly-attached TPUs the analogous cost is ~ms-scale
+dispatch overhead). Folding K steps into ONE jitted ``lax.scan`` program
+amortizes that fixed cost K-fold — at the '128' b128 step size it is a
+~3x lever. The reference has no equivalent — its loop crosses the host
+boundary several times per batch (reference trainers/cnn.py:109,153-156).
 
 Two input modes:
 
