@@ -73,10 +73,13 @@ class GOutputApp(App):
 
     def build_generator(self):
         rc = self.run_config
+        # parity blocks share the flax param tree, so checkpoints trained
+        # either way load into either; auto = faster TPU generation
         return Generator(
             self.gan_config,
             input_factory=F.g_input_factory(rc.g_base, rc.activation),
-            block_factory=F.g_block_factory(rc.norm, rc.activation),
+            block_factory=F.g_block_factory(rc.norm, rc.activation,
+                                            parity=F.resolve_parity("auto")),
             output_factory=F.g_output_factory(rc.norm, rc.activation),
         )
 
@@ -90,7 +93,8 @@ class GOutputApp(App):
             output_factory = F.d_output_factory(rc.norm, rc.activation)
         return Discriminator(
             self.gan_config,
-            block_factory=F.d_block_factory(rc.norm, rc.activation),
+            block_factory=F.d_block_factory(rc.norm, rc.activation,
+                                            parity=F.resolve_parity("auto")),
             output_factory=output_factory,
         )
 

@@ -93,6 +93,20 @@ def test_chunked_alternation(rng):
     assert gp[1] == 0 and gp[3] == 0
 
 
+def test_chunked_alternation_scan_mode(rng):
+    """'scan' batch mode (stacked host batches) must thread the chunk
+    index alongside the per-step batch slices."""
+    cfg, step, state = _tiny_setup(r1_interval=2)
+    chunk = jax.jit(chunk_train_step(
+        step, 4, "scan", alt_step_fn=step.no_r1, alt_interval=2))
+    stacked = jnp.asarray(rng.integers(
+        0, 256, (4, 8, cfg.max_size, cfg.max_size, 3), dtype=np.uint8))
+    _, metrics = chunk(state, stacked, jax.random.PRNGKey(4))
+    gp = np.asarray(metrics["gp"])
+    assert gp.shape == (4,)
+    assert gp[0] > 0 and gp[2] > 0 and gp[1] == 0 and gp[3] == 0
+
+
 def test_trainer_e2e_lazy_r1(tiny_archive, tmp_path):
     """Full CNNTrainer run with --r1-interval 2 --steps-per-call 2."""
     from tartangan_tpu.train.cnn import CNNTrainer
