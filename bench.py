@@ -327,7 +327,26 @@ def main():
                         "(0 = plain single-device/data-parallel path)")
     args = p.parse_args()
 
-    enter_honest_mode()
+    try:
+        # bounded by SIGALRM: when the relay is down, backend init hangs
+        # forever rather than erroring — the driver still needs a JSON line
+        import signal
+
+        def _timeout(signum, frame):
+            raise TimeoutError("TPU backend init timed out (relay down?)")
+
+        signal.signal(signal.SIGALRM, _timeout)
+        signal.alarm(300)
+        enter_honest_mode()
+        signal.alarm(0)
+    except Exception as e:  # noqa: BLE001 — driver artifact must print
+        print(json.dumps({
+            "metric": f"images_per_sec_{args.config}px_sagan_train",
+            "value": None, "unit": "img/s", "vs_baseline": None,
+            "error": f"device unavailable: {type(e).__name__}: "
+                     f"{str(e)[:200]}",
+        }))
+        return
     extra = {}
     k = max(args.steps_per_call, 1)
     if args.end_to_end:
