@@ -94,7 +94,7 @@ def test_find_image_lbfgs(trained_run, tmp_path):
         app = FindImage(FindImage.parse_cli_args(
             [trained_run, str(out), str(target), "--optimizer", name,
              "--lr", "0.1" if name == "lbfgs" else "0.5",
-             "--max-steps", "8", "--num-samples", "2",
+             "--max-steps", "6", "--num-samples", "2",
              "--save-freq", "100"]))
         app.run()
         losses[name] = app.loss_history

@@ -179,7 +179,7 @@ def test_g_block_grads_f64(rng):
     both paths) the f64 grads agree to ~1e-12 — the f32 deltas in
     test_g_block_grads are pure accumulation-order rounding, not math."""
     with _x64_flag():
-        x = jnp.asarray(rng.standard_normal((B, H, H, CIN)), jnp.float64)
+        x = jnp.asarray(rng.standard_normal((2, 6, 6, CIN)), jnp.float64)
         fblock = ResidualGeneratorBlock(CIN, COUT, norm="id",
                                         dtype=jnp.float64)
         fvars = jax.tree_util.tree_map(
