@@ -327,18 +327,20 @@ def main():
                         "(0 = plain single-device/data-parallel path)")
     args = p.parse_args()
 
+    # When the relay is down, backend init HANGS inside a C call (no
+    # exception, and SIGALRM cannot interrupt it) — probe device health in
+    # a bounded subprocess first so the driver always gets a JSON line.
+    import subprocess
+    import sys
     try:
-        # bounded by SIGALRM: when the relay is down, backend init hangs
-        # forever rather than erroring — the driver still needs a JSON line
-        import signal
-
-        def _timeout(signum, frame):
-            raise TimeoutError("TPU backend init timed out (relay down?)")
-
-        signal.signal(signal.SIGALRM, _timeout)
-        signal.alarm(300)
-        enter_honest_mode()
-        signal.alarm(0)
+        probe = subprocess.run(
+            [sys.executable, "-c",
+             "import jax, jax.numpy as jnp; "
+             "assert float((jnp.ones((2,)) * 2.0)[0]) == 2.0"],
+            timeout=300, capture_output=True)
+        if probe.returncode != 0:
+            raise RuntimeError(
+                probe.stderr.decode()[-200:] or "device probe failed")
     except Exception as e:  # noqa: BLE001 — driver artifact must print
         print(json.dumps({
             "metric": f"images_per_sec_{args.config}px_sagan_train",
@@ -347,6 +349,7 @@ def main():
                      f"{str(e)[:200]}",
         }))
         return
+    enter_honest_mode()
     extra = {}
     k = max(args.steps_per_call, 1)
     if args.end_to_end:
