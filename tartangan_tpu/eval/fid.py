@@ -81,20 +81,24 @@ def numpy_frechet_distance(mu1, sigma1, mu2, sigma2, eps=1e-6):
         r2 = _psd_sqrt(s2)
         inner = r2 @ s1 @ r2
         vals = np.linalg.eigvalsh((inner + inner.T) / 2.0)
-        return float(np.sum(np.sqrt(np.clip(vals, 0.0, None)))), float(
-            vals.min(initial=0.0))
+        return (float(np.sum(np.sqrt(np.clip(vals, 0.0, None)))),
+                float(vals.min(initial=0.0)),
+                float(np.abs(vals).max(initial=0.0)))
 
     # eps-free first pass; the offset is a *retry* for materially indefinite
     # inputs only (matching the reference's conditional offset,
     # inception_utils.py:170-178) — applying it unconditionally biases every
-    # FID by a small constant (ADVICE r2).
-    tr_covmean, min_eig = _tr_sqrt(sigma1, sigma2)
-    if min_eig < -1e-3:
+    # FID by a small constant (ADVICE r2). The indefiniteness test is
+    # RELATIVE to the spectrum's scale (eigenvalues of r2 s1 r2 scale with
+    # activation magnitude squared — an absolute cutoff spuriously fires on
+    # large-scale covariances and misses small-scale ones; ADVICE r3).
+    tr_covmean, min_eig, scale = _tr_sqrt(sigma1, sigma2)
+    if min_eig < -1e-6 * max(scale, np.finfo(np.float64).tiny):
         logger.info(
             "FID sqrtm retry with eps=%g offset (min eigenvalue %.3g)",
             eps, min_eig)
         eye = np.eye(sigma1.shape[0])
-        tr_covmean, _ = _tr_sqrt(sigma1 + eye * eps, sigma2 + eye * eps)
+        tr_covmean, _, _ = _tr_sqrt(sigma1 + eye * eps, sigma2 + eye * eps)
     diff = mu1 - mu2
     value = float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2)
                   - 2.0 * tr_covmean)

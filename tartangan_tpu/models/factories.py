@@ -72,9 +72,10 @@ def g_block_factory(norm: str, activation: str, ndim: int = 2,
     (--parity-blocks) computes thin tower blocks (upsample, not-first,
     2-D, out_dims <= PARITY_MAX_DIMS) in the sub-pixel parity domain
     (blocks.py::ParityResidualGeneratorBlock) — pure-XLA, autodiff-safe.
-    ``fused=True`` (--fused-blocks) instead uses the Pallas kernel
-    transcription (ops/pallas/gblock.py; measured slower, kept as a
-    comparison baseline)."""
+    ``fused=True`` instead uses the Pallas kernel transcription
+    (ops/pallas/gblock.py) — a tests+docs-only negative-result baseline
+    (measured slower than parity, R1-incompatible; no CLI flag since
+    round 4)."""
     import flax.linen as nn
     cls = (nn.remat(ResidualGeneratorBlock, static_argnums=(2,))
            if remat else ResidualGeneratorBlock)
@@ -86,7 +87,14 @@ def g_block_factory(norm: str, activation: str, ndim: int = 2,
         if (parity_ok and upsample and not first_block
                 and out_dims <= PARITY_MAX_DIMS):
             from .blocks import ParityResidualGeneratorBlock
-            return ParityResidualGeneratorBlock(
+            # --remat must cover the parity variants too: the thin
+            # (out_dims <= PARITY_MAX_DIMS) blocks are exactly the
+            # high-resolution ones whose activations dominate HBM at the
+            # 512/1024px configs (ADVICE r3)
+            pcls = (nn.remat(ParityResidualGeneratorBlock,
+                             static_argnums=(2,))
+                    if remat else ParityResidualGeneratorBlock)
+            return pcls(
                 in_dims, out_dims, upsample=upsample,
                 first_block=first_block, norm=norm, activation=activation,
                 ndim=ndim, dtype=dtype,
@@ -115,7 +123,10 @@ def d_block_factory(norm: str, activation: str, ndim: int = 2,
     def factory(in_dims, out_dims, *, first_block=False, dtype=jnp.float32):
         if parity_ok and out_dims <= PARITY_MAX_DIMS:
             from .blocks import ParityResidualDiscriminatorBlock
-            return ParityResidualDiscriminatorBlock(
+            pcls = (nn.remat(ParityResidualDiscriminatorBlock,
+                             static_argnums=(2,))
+                    if remat else ParityResidualDiscriminatorBlock)
+            return pcls(
                 in_dims, out_dims, first_block=first_block,
                 norm=norm, activation=activation, ndim=ndim, dtype=dtype,
             )

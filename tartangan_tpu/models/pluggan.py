@@ -120,11 +120,11 @@ class Discriminator(nn.Module):
     block_factory: Optional[Callable] = None
     output_factory: Optional[Callable] = None
     dtype: Dtype = jnp.float32
-    # the R1 gradient penalty differentiates D twice; jax.custom_vjp (the
-    # Pallas attention kernel) cannot sit under a second-order gradient,
-    # so D defaults to the XLA attention path. Set True only when training
-    # without --grad-penalty.
-    attn_use_pallas: bool = False
+    # the R1 gradient penalty differentiates D twice; the attention
+    # kernel's DOUBLE-nested custom_vjp (ops/pallas/attention.py) buys
+    # exactly the two differentiation levels that needs, so D keeps the
+    # fused kernel (round 3 routed D to XLA; superseded in round 4).
+    attn_use_pallas: bool = True
 
     @property
     def max_size(self) -> int:
@@ -175,7 +175,7 @@ class IQNDiscriminator(nn.Module):
     block_factory: Optional[Callable] = None
     output_factory: Optional[Callable] = None
     dtype: Dtype = jnp.float32
-    attn_use_pallas: bool = False  # see Discriminator (R1 double-grad)
+    attn_use_pallas: bool = True  # see Discriminator (R1-safe nested vjp)
 
     @property
     def max_size(self) -> int:

@@ -143,10 +143,11 @@ class _SharedBase(nn.Module):
     activation: str = "relu"
     g_base: str = "mlp"
     dtype: Dtype = jnp.float32
-    # D classes sit under the R1 second-order gradient, which cannot pass
-    # through the Pallas attention custom_vjp — default to XLA attention
-    # (models/pluggan.py has the same field; G could enable it safely)
-    attn_use_pallas: bool = False
+    # D classes sit under the R1 second-order gradient; the attention
+    # kernel's double-nested custom_vjp supports exactly two
+    # differentiation levels, so the shared family keeps the fused kernel
+    # too (models/pluggan.py has the same field and rationale)
+    attn_use_pallas: bool = True
 
     @property
     def max_size(self) -> int:

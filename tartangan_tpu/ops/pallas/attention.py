@@ -31,6 +31,12 @@ _TILE_Q = 512
 # logits f32 per tile: 512 * lk * 4 bytes; keep under ~8 MB -> lk <= 4096
 _MAX_KV = 4096
 
+# Tests flip this to run the kernels in interpret mode on CPU — it routes
+# the WHOLE custom-vjp chain (fwd kernel, bwd kernel, nested second-order
+# rule) through the Pallas interpreter, where the raw *_impl entry points
+# can only exercise one kernel at a time.
+_INTERPRET = False
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
     q = q_ref[0]
@@ -51,8 +57,14 @@ def _attn_kernel(q_ref, k_ref, v_ref, o_ref):
 
 @jax.custom_vjp
 def fused_attention(q, k, v):
-    """q: (B, Lq, Ck), k: (B, Lk, Ck), v: (B, Lk, Cv) -> (B, Lq, Cv)."""
-    return _fused_attention_fwd_impl(q, k, v)
+    """q: (B, Lq, Ck), k: (B, Lk, Ck), v: (B, Lk, Cv) -> (B, Lq, Cv).
+
+    Differentiable to SECOND order (the R1 gradient penalty's
+    grad-of-grad): each differentiation level peels one custom_vjp, so
+    both the forward and the backward carry a nested rule — see
+    ``_fused_attention_fwd`` / ``_attn_bwd_core``. A third-order
+    gradient would reach the raw kernels and fail at trace time."""
+    return _fused_attention_fwd_impl(q, k, v, interpret=_INTERPRET)
 
 
 def _softmax_qkT(q, k):
@@ -61,18 +73,74 @@ def _softmax_qkT(q, k):
     return jax.nn.softmax(logits, axis=-1)
 
 
+@jax.custom_vjp
+def _fused_attention_l1(q, k, v):
+    """Second-level forward: identical to ``fused_attention`` but reached
+    only from inside its fwd rule. Under an R1 double gradient the
+    attention OUTPUT is differentiated w.r.t. params too (the cotangent
+    entering the backward rides through downstream activations), so the
+    fwd rule's kernel call must itself be differentiable one more time —
+    a raw pallas_call there fails linearization ("Linearization failed
+    to produce known values", the round-3 512thin trace error)."""
+    return _fused_attention_fwd_impl(q, k, v, interpret=_INTERPRET)
+
+
+def _l1_fwd(q, k, v):
+    return _fused_attention_fwd_impl(q, k, v, interpret=_INTERPRET), (q, k, v)
+
+
+def _l1_bwd(res, do):
+    q, k, v = res
+    return _attn_bwd_core(q, k, v, do)
+
+
 def _fused_attention_fwd(q, k, v):
-    return _fused_attention_fwd_impl(q, k, v), (q, k, v)
+    return _fused_attention_l1(q, k, v), (q, k, v)
+
+
+def _dispatch_bwd(q, k, v, do):
+    """The Pallas recompute kernel on TPU, the plain-XLA einsum chain
+    elsewhere (identical math, HBM-materialized logits)."""
+    try:
+        return _attn_bwd_impl(q, k, v, do, interpret=_INTERPRET)
+    except NotImplementedError:
+        return _fused_attention_bwd_xla(q, k, v, do)
+
+
+@jax.custom_vjp
+def _attn_bwd_core(q, k, v, do):
+    """The attention backward as its OWN custom_vjp — the nesting buys
+    exactly one more differentiation level, which is what the R1 gradient
+    penalty needs: grad-of-grad through D re-differentiates the first
+    grad's backward graph, and a raw pallas_call there has no autodiff
+    rule ("Linearization failed" at trace time, round-3 512thin row).
+    With this wrapper the second-order pass sees a custom_vjp call whose
+    primal is the Pallas kernel and whose cotangent rule is the XLA
+    closed form below — so D keeps the fused kernel for every
+    first-order pass and pays XLA-materialized logits only inside the R1
+    term itself (VERDICT r3 #4)."""
+    return _dispatch_bwd(q, k, v, do)
+
+
+def _attn_bwd_core_fwd(q, k, v, do):
+    return _dispatch_bwd(q, k, v, do), (q, k, v, do)
+
+
+def _attn_bwd_core_bwd(res, cts):
+    # cotangents of (dq, dk, dv) w.r.t. (q, k, v, do): differentiate the
+    # closed-form XLA backward (same math as the kernel). Pure XLA ops,
+    # so any further differentiation order works.
+    q, k, v, do = res
+    _, vjp = jax.vjp(_fused_attention_bwd_xla, q, k, v, do)
+    return vjp(cts)
+
+
+_attn_bwd_core.defvjp(_attn_bwd_core_fwd, _attn_bwd_core_bwd)
 
 
 def _fused_attention_bwd(res, do):
-    """Backward dispatch: the Pallas recompute kernel on TPU, the plain-XLA
-    einsum chain elsewhere (identical math, HBM-materialized logits)."""
     q, k, v = res
-    try:
-        return _fused_attention_bwd_impl(q, k, v, do)
-    except NotImplementedError:
-        return _fused_attention_bwd_xla(q, k, v, do)
+    return _attn_bwd_core(q, k, v, do)
 
 
 def _fused_attention_bwd_xla(q, k, v, do):
@@ -90,6 +158,7 @@ def _fused_attention_bwd_xla(q, k, v, do):
 
 
 fused_attention.defvjp(_fused_attention_fwd, _fused_attention_bwd)
+_fused_attention_l1.defvjp(_l1_fwd, _l1_bwd)
 
 
 def _attn_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
@@ -163,6 +232,14 @@ def _attn_bwd_impl(q, k, v, do, interpret: bool = False):
     tile_q = min(_TILE_Q, lq)
     while tile_q > 128 and 2 * tile_q * lk * 4 > 8 * 2 ** 20:
         tile_q //= 2
+    if lq % tile_q != 0:
+        # a padded tail tile's q/do block contents are undefined on TPU;
+        # dq padding is discarded but the dk/dv scratch accumulates every
+        # tile — garbage rows would silently corrupt dk/dv (ADVICE r3).
+        # Unreachable at the SA-GAN power-of-two shapes; fall back to the
+        # XLA backward rather than masking tail rows in-kernel.
+        raise NotImplementedError(
+            f"attention backward needs lq % {tile_q} == 0 (got {lq})")
     grid = (b, pl.cdiv(lq, tile_q))
     return pl.pallas_call(
         _attn_bwd_kernel,
@@ -196,11 +273,6 @@ def _attn_bwd_impl(q, k, v, do, interpret: bool = False):
         ],
         interpret=interpret,
     )(q, k, v, do)
-
-
-def _fused_attention_bwd_impl(q, k, v, do):
-    dq, dk, dv = _attn_bwd_impl(q, k, v, do)
-    return dq, dk, dv
 
 
 def _fused_attention_fwd_impl(q, k, v, interpret: bool = False):

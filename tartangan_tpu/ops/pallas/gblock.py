@@ -49,9 +49,16 @@ just x and params — *less* than the flax block's saved intermediates);
 the D blocks stay on the flax path because the R1 penalty needs
 second-order differentiation, which custom_vjp does not provide.
 
-Used by ``models/blocks.py::FusedResidualGeneratorBlock`` behind the
-``--fused-blocks`` trainer flag; bit-compatibility vs the flax block is
-pinned in interpret mode by ``tests/test_fused_gblock.py``.
+Used by ``models/blocks.py::FusedResidualGeneratorBlock`` via
+``factories.g_block_factory(fused=True)``. STATUS (round 4): a
+tests+docs-only NEGATIVE-RESULT baseline, not product surface — on
+hardware it measures slower than the pure-XLA parity rewrite
+(ops/parity.py; per-grid-program overhead at B=128 single-image
+programs, plus a custom-VJP recompute backward XLA cannot fuse across)
+and it cannot sit under the R1 second-order gradient. The former
+``--fused-blocks`` CLI flag was dropped; bit-compatibility vs the flax
+block stays pinned in interpret mode by ``tests/test_fused_gblock.py``
+so the comparison in docs/PERF.md remains reproducible.
 """
 from __future__ import annotations
 

@@ -222,7 +222,6 @@ class CNNTrainer(Trainer):
             input_factory=F.g_input_factory(args.g_base, args.activation),
             block_factory=F.g_block_factory(
                 args.norm, args.activation, remat=args.remat,
-                fused=getattr(args, "fused_blocks", False),
                 parity=F.resolve_parity(
                     getattr(args, "parity_blocks", "auto"))),
             output_factory=F.g_output_factory(args.norm, args.activation),

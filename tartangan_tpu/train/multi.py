@@ -40,19 +40,23 @@ def chunk_train_step(step_fn, steps_per_call: int, batch_mode: str,
     step; 'scan' slices a leading (K, ...) axis off ``inputs``.
 
     ``alt_step_fn`` (with ``alt_interval > 1``) runs on every inner step
-    whose chunk-local index is NOT a multiple of ``alt_interval``; the
-    primary ``step_fn`` runs on the multiples. Both branches compile once
-    and must return identical tree structures — used for lazy R1
-    regularization (train/cnn.py ``r1_interval``). Indices are
-    chunk-local, so the cadence is exact when ``steps_per_call`` is a
-    multiple of ``alt_interval`` (the trainer warns otherwise).
+    whose GLOBAL index (``step0`` + chunk-local index) is NOT a multiple
+    of ``alt_interval``; the primary ``step_fn`` runs on the multiples.
+    Both branches compile once and must return identical tree structures
+    — used for lazy R1 regularization (train/cnn.py ``r1_interval``).
+    The trainer passes its running step counter as ``step0`` (a traced
+    scalar operand, no recompiles), so the cadence is exact across chunk
+    boundaries even when ``steps_per_call`` is not a multiple of
+    ``alt_interval`` (ADVICE r3: the previous chunk-local indexing fired
+    R1 on every chunk's step 0 — over-regularizing at the N-scaled
+    weight whenever K < N).
     """
     if steps_per_call < 1:
         raise ValueError(f"steps_per_call must be >= 1: {steps_per_call}")
     if batch_mode not in ("broadcast", "scan"):
         raise ValueError(f"unknown batch_mode: {batch_mode}")
 
-    def multi_step(state, inputs, rng):
+    def multi_step(state, inputs, rng, step0=0):
         import jax.numpy as jnp
 
         def body(carry, xs):
@@ -64,7 +68,7 @@ def chunk_train_step(step_fn, steps_per_call: int, batch_mode: str,
                 st, metrics = step_fn(st, batch, sub)
             else:
                 st, metrics = jax.lax.cond(
-                    i % alt_interval == 0, step_fn, alt_step_fn,
+                    (step0 + i) % alt_interval == 0, step_fn, alt_step_fn,
                     st, batch, sub)
             return (st, key), metrics
 

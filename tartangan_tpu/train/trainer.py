@@ -208,12 +208,6 @@ class Trainer:
         progress = ProgressLine(newlines=self.args.log_progress_newlines)
         k = self.steps_per_call
         self._warn_chunk_cadence(k)
-        r1n = getattr(self.args, "r1_interval", 1)
-        if r1n > 1 and k > 1 and k % r1n != 0 and not self.args.quiet_logs:
-            print(f"warning: --steps-per-call {k} is not a multiple of "
-                  f"--r1-interval {r1n}; the R1 cadence restarts at each "
-                  "chunk boundary (slightly more frequent than every "
-                  f"{r1n} steps)")
         # with chunking, an epoch runs the largest multiple of K batches
         # that fits (a shorter trailing chunk would be a new shape ->
         # recompile; documented in train/multi.py::stack_batches)
@@ -289,17 +283,22 @@ class Trainer:
         # lazy R1 at --steps-per-call 1: alternate the two compiled steps
         # host-side on the global step counter (chunked paths alternate
         # in-graph via chunk_train_step's alt_step_fn)
-        lazy_off = (getattr(self, "_r1_interval", 1) > 1
-                    and self.steps % self._r1_interval != 0)
+        lazy = getattr(self, "_r1_interval", 1) > 1
+        lazy_off = lazy and self.steps % self._r1_interval != 0
+        # chunked lazy R1: the global step rides in as a traced scalar so
+        # the in-scan cadence (step0 + i) % N is exact across chunk
+        # boundaries for ANY K (ADVICE r3); a python int never recompiles
+        step0 = (np.int32(self.steps),) if lazy and self.steps_per_call > 1 \
+            else ()
         if batch is None:
             fn = (self._device_step_alt
                   if lazy_off and self.steps_per_call == 1
                   else self._device_step)
             self.state, metrics = fn(
-                self.state, self._archive, self.next_key())
+                self.state, self._archive, self.next_key(), *step0)
         elif self.steps_per_call > 1:
             self.state, metrics = self._stacked_step(
-                self.state, batch, self.next_key())
+                self.state, batch, self.next_key(), *step0)
         else:
             fn = self._train_step_alt if lazy_off else self._train_step
             self.state, metrics = fn(
@@ -548,18 +547,13 @@ class Trainer:
                             "N steps with weight grad_penalty*N — the "
                             "penalty is 22%% of the '128' step cost "
                             "(docs/PERF.md). 1 = exact reference "
-                            "semantics. Best with --steps-per-call a "
-                            "multiple of N")
+                            "semantics; the cadence is exact for any "
+                            "--steps-per-call")
         p.add_argument("--iters-d", type=int, default=1,
                        help="Discriminator updates per generator update")
         p.add_argument("--remat", action="store_true",
                        help="Rematerialize residual blocks in the backward "
                             "pass (saves HBM at high resolutions)")
-        p.add_argument("--fused-blocks", action="store_true",
-                       help="Compute the generator tower blocks with the "
-                            "fused Pallas kernels (ops/pallas/gblock; "
-                            "measured slower than --parity-blocks, kept "
-                            "as a comparison baseline)")
         p.add_argument("--parity-blocks", default="auto",
                        choices=("auto", "on", "off"),
                        help="Compute thin tower blocks in the sub-pixel "

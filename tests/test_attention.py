@@ -113,14 +113,15 @@ def test_pallas_kernel_unavailable_on_cpu_falls_back():
     assert out.shape == x.shape
 
 
-def test_r1_double_grad_routes_attention_to_xla(rng):
-    """jax.custom_vjp (the Pallas attention kernel) cannot sit under a
-    second-order gradient, and D is differentiated twice by the R1
-    penalty — so the D builders must default the attention blocks to the
-    XLA path. The Pallas gate falls back silently on CPU, so this failure
-    mode only surfaces on TPU (it broke the 512thin bench row); this test
-    pins the structural guarantee plus an R1 double-grad smoke through an
-    attention-bearing D on the config that has attention ('test128')."""
+def test_r1_double_grad_through_pallas_attention(rng, monkeypatch):
+    """The R1 penalty differentiates D twice; the attention kernel's
+    DOUBLE-nested custom_vjp (ops/pallas/attention.py: a second-level
+    rule on the forward, one on the backward) supports exactly two
+    differentiation levels — so the D builders keep the fused kernel
+    (round 3 routed D's attention to XLA; this pins the round-4 fix).
+    Exercised genuinely via interpret mode: the kernels execute on CPU
+    and the second-order grads must match the XLA attention path."""
+    import tartangan_tpu.ops.pallas.attention as pallas_attn
     from tartangan_tpu.configs import GAN_CONFIGS
     from tartangan_tpu.models import factories as F
     from tartangan_tpu.models.pluggan import (
@@ -130,32 +131,43 @@ def test_r1_double_grad_routes_attention_to_xla(rng):
     )
     from tartangan_tpu.models.shared import SharedDiscriminator
 
-    cfg = GAN_CONFIGS["test128"]
-    assert cfg.attention, "test128 must carry attention for this test"
-    d = Discriminator(
-        cfg,
-        block_factory=F.d_block_factory("bn", "relu"),
-        output_factory=F.d_output_factory("bn", "relu"),
-    )
-    assert d.attn_use_pallas is False
-    assert IQNDiscriminator.attn_use_pallas is False
-    assert SharedDiscriminator.attn_use_pallas is False
-    # G is only ever differentiated first-order; it keeps the kernel
+    assert IQNDiscriminator.attn_use_pallas is True
+    assert SharedDiscriminator.attn_use_pallas is True
     assert Generator.attn_use_pallas is True
 
+    cfg = GAN_CONFIGS["test128"]
+    assert cfg.attention, "test128 must carry attention for this test"
     x = jnp.asarray(rng.standard_normal(
         (2, cfg.max_size, cfg.max_size, 3)), jnp.float32)
-    d_vars = d.init(jax.random.PRNGKey(0), x, train=True)
 
-    def r1(params):
-        def d_sum(x):
-            out, _ = d.apply(
-                {"params": params, "batch_stats": d_vars["batch_stats"]},
-                x, train=True, mutable=["batch_stats"])
-            return jnp.sum(out.astype(jnp.float32))
-        gx = jax.grad(d_sum)(x)
-        return jnp.sum(jnp.square(gx))
+    def r1_grads(use_pallas):
+        d = Discriminator(
+            cfg,
+            block_factory=F.d_block_factory("bn", "relu"),
+            output_factory=F.d_output_factory("bn", "relu"),
+            attn_use_pallas=use_pallas,
+        )
+        d_vars = d.init(jax.random.PRNGKey(0), x, train=True)
 
-    grads = jax.grad(r1)(d_vars["params"])
-    for leaf in jax.tree_util.tree_leaves(grads):
-        assert np.all(np.isfinite(np.asarray(leaf)))
+        def r1(params):
+            def d_sum(x):
+                out, _ = d.apply(
+                    {"params": params,
+                     "batch_stats": d_vars["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"])
+                return jnp.sum(out.astype(jnp.float32))
+            gx = jax.grad(d_sum)(x)
+            return jnp.sum(jnp.square(gx))
+
+        return jax.grad(r1)(d_vars["params"])
+
+    monkeypatch.setattr(pallas_attn, "_INTERPRET", True)
+    via_kernel = r1_grads(True)
+    via_xla = r1_grads(False)
+    flat_k = jax.tree_util.tree_leaves(via_kernel)
+    flat_x = jax.tree_util.tree_leaves(via_xla)
+    for a, b in zip(flat_k, flat_x):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a))
+        scale = max(float(np.max(np.abs(b))), 1e-6)
+        np.testing.assert_allclose(a / scale, b / scale, atol=2e-4)

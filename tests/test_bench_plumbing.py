@@ -27,3 +27,11 @@ def test_measure_step_iqn_cpu():
     vals = bench.measure_step(config="8", batch_size=8, steps=4, warmup=1,
                               repeats=1, steps_per_call=2, workload="iqn")
     assert len(vals) == 1 and np.isfinite(vals[0]) and vals[0] > 0
+
+
+def test_measure_end_to_end_chunked_host_cpu():
+    """The e2e_chunked_host row: host-streamed batches stacked K at a time
+    through the trainer's scan path (VERDICT r3 weak #5)."""
+    v = bench.measure_end_to_end(config="8", batch_size=8, steps=4,
+                                 device_data=False, steps_per_call=2)
+    assert np.isfinite(v) and v > 0

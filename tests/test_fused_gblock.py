@@ -217,8 +217,8 @@ def test_gradients_match_flax(pair):
 
 
 def test_factory_selects_fused_blocks():
-    """--fused-blocks routes tower blocks to the fused class, first/base
-    blocks to flax."""
+    """g_block_factory(fused=True) routes tower blocks to the fused class,
+    first/base blocks to flax (comparison-baseline path; no CLI flag)."""
     from tartangan_tpu.models import factories as F
     fac = F.g_block_factory("bn", "relu", fused=True)
     assert isinstance(fac(24, 16), FusedResidualGeneratorBlock)

@@ -107,6 +107,44 @@ def test_chunked_alternation_scan_mode(rng):
     assert gp[0] > 0 and gp[2] > 0 and gp[1] == 0 and gp[3] == 0
 
 
+def test_chunked_alternation_global_cadence(rng):
+    """When K < N, the cadence rides the GLOBAL step (step0 operand), not
+    the chunk-local index — R1 fires every N steps across chunk
+    boundaries, never on every chunk's step 0 (ADVICE r3)."""
+    cfg, step, state = _tiny_setup(r1_interval=4)
+    chunk = jax.jit(chunk_train_step(
+        step, 2, "broadcast", alt_step_fn=step.no_r1, alt_interval=4))
+    batch = jnp.asarray(rng.integers(
+        0, 256, (8, cfg.max_size, cfg.max_size, 3), dtype=np.uint8))
+    gps = []
+    for c in range(3):  # global steps 0..5: R1 only at 0 and 4
+        state, metrics = chunk(state, batch, jax.random.PRNGKey(c),
+                               np.int32(2 * c))
+        gps.extend(np.asarray(metrics["gp"]))
+    assert gps[0] > 0 and gps[4] > 0
+    assert gps[1] == 0 and gps[2] == 0 and gps[3] == 0 and gps[5] == 0
+
+
+def test_trainer_e2e_lazy_r1_k_not_multiple(tiny_archive, tmp_path):
+    """Full CNNTrainer with --steps-per-call 2 --r1-interval 4: the
+    trainer must thread its global step into the chunk so the cadence is
+    exact (fires at steps 0 and 4 only across the first three chunks)."""
+    from tartangan_tpu.train.cnn import CNNTrainer
+    argv = [
+        tiny_archive, "--config", "16", "--batch-size", "8",
+        "--epochs", "3", "--output", str(tmp_path / "out"),
+        "--gen-freq", "100", "--run-id", "lazyr1k",
+        "--dtype", "f32", "--quiet-logs",
+        "--r1-interval", "4", "--steps-per-call", "2",
+    ]
+    trainer = CNNTrainer.create_from_cli(argv)
+    trainer.train()
+    assert trainer.steps >= 6
+    gp = np.concatenate([np.asarray(g) for g in trainer.logs["gp"][:3]])
+    assert float(gp[0]) > 0 and float(gp[4]) > 0
+    assert all(float(g) == 0 for g in (gp[1], gp[2], gp[3], gp[5]))
+
+
 def test_trainer_e2e_lazy_r1(tiny_archive, tmp_path):
     """Full CNNTrainer run with --r1-interval 2 --steps-per-call 2."""
     from tartangan_tpu.train.cnn import CNNTrainer

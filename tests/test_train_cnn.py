@@ -105,16 +105,10 @@ def test_norm_id_and_tiledz(tiny_archive, tmp_path):
 
 
 def test_block_variant_flags(tiny_archive, tmp_path):
-    """--fused-blocks (Pallas comparison baseline; reference-math path on
-    CPU) and --parity-blocks on both train end-to-end through the CLI."""
-    import jax
-    t1 = make_trainer(tiny_archive, tmp_path, extra=["--fused-blocks"])
-    t1.train()
-    # the fused block's flat param layout proves the flag engaged
-    flat = jax.tree_util.tree_leaves_with_path(t1.state.g_params)
-    assert any("conv1_kernel" in jax.tree_util.keystr(p) for p, _ in flat)
-    assert all(np.isfinite(float(v)) for v in t1.logs["g_loss"])
-
+    """--parity-blocks on trains end-to-end through the CLI. (The fused
+    Pallas gblock is a tests+docs-only comparison baseline since round 4 —
+    measured slower than the parity rewrite and R1-incompatible, its CLI
+    flag was dropped; tests/test_fused_gblock.py keeps it honest.)"""
     t2 = make_trainer(tiny_archive, tmp_path,
                       extra=["--parity-blocks", "on", "--run-id", "pb"])
     t2.train()
