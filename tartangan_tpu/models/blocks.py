@@ -333,6 +333,12 @@ class ParityResidualGeneratorBlock(nn.Module):
     Param tree is identical to the flax block (NormAct_0/Conv_0/
     NormAct_1/Conv_1/project_input), so checkpoints interoperate.
     Supported shape: upsample, not-first, 2-D, norm in {bn, id}.
+
+    ``emit_parity=True`` (set by ``Generator.setup`` on the LAST tower
+    block when a ``ParityGeneratorOutput`` follows) returns the
+    (B, H, W, 4*out) parity-stacked tensor instead of depth-to-spacing
+    back to standard layout — the output stage consumes it directly and
+    the full-resolution pre-output tensor never exists.
     """
 
     in_dims: int
@@ -343,6 +349,7 @@ class ParityResidualGeneratorBlock(nn.Module):
     activation: str = "relu"
     ndim: int = 2
     dtype: Dtype = jnp.float32
+    emit_parity: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -373,7 +380,10 @@ class ParityResidualGeneratorBlock(nn.Module):
         else:
             # identity shortcut: all four parity planes of up2(x) are x
             scp = jnp.concatenate([x] * 4, axis=-1)
-        return depth_to_space(y2p + scp, cout)
+        yp = y2p + scp
+        if self.emit_parity:
+            return yp
+        return depth_to_space(yp, cout)
 
 
 class ParityResidualDiscriminatorBlock(nn.Module):
@@ -382,9 +392,16 @@ class ParityResidualDiscriminatorBlock(nn.Module):
     over channel-stacked parity planes (4x the contraction lanes), and
     the trailing avg-pool is folded into conv2's weights
     (ops/parity.py::pack_down_conv) so the block emits half resolution
-    in standard layout directly. The bilinear shortcut is untouched
-    (align_corners sampling has no clean parity form). Pure jnp/lax,
-    so the R1 second-order gradient works through it.
+    in standard layout directly. Pure jnp/lax, so the R1 second-order
+    gradient works through it.
+
+    ``accept_parity=True`` (set by ``Discriminator.setup`` on the FIRST
+    block when a ``ParityDiscriminatorInput`` precedes it) takes the
+    input already parity-stacked: the block skips its own
+    space-to-depth, and the bilinear shortcut samples the full-res
+    signal directly from the parity planes
+    (ops/resize.py::downsample_bilinear_half_parity) — the
+    full-resolution feature tensor never exists.
 
     Param tree matches the flax block; checkpoints interoperate.
     """
@@ -396,6 +413,7 @@ class ParityResidualDiscriminatorBlock(nn.Module):
     activation: str = "relu"
     ndim: int = 2
     dtype: Dtype = jnp.float32
+    accept_parity: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -408,9 +426,14 @@ class ParityResidualDiscriminatorBlock(nn.Module):
         cin, cout = self.in_dims, self.out_dims
         h = x
         if not self.first_block:
-            h = NormAct(self.norm, self.activation, self.dtype,
-                        name="NormAct_0")(h, train)
-        hp = space_to_depth(h)
+            if self.accept_parity:
+                h = _ParityNormAct(cin, self.norm, self.activation,
+                                   self.dtype, name="NormAct_0")(h, train)
+                h = h.astype(self.dtype)
+            else:
+                h = NormAct(self.norm, self.activation, self.dtype,
+                            name="NormAct_0")(h, train)
+        hp = h if self.accept_parity else space_to_depth(h)
         w1, b1 = _ConvParams((3, 3, cin, cout), 9 * cin, name="Conv_0")()
         y1p = _conv_same(hp, pack_full_conv(w1), jnp.tile(b1, 4))
         h2 = _ParityNormAct(cout, self.norm, self.activation, self.dtype,
@@ -419,7 +442,12 @@ class ParityResidualDiscriminatorBlock(nn.Module):
         h2 = h2.astype(self.dtype)
         w2, b2 = _ConvParams((3, 3, cout, cout), 9 * cout, name="Conv_1")()
         y2 = _conv_same(h2, pack_down_conv(w2), b2)  # half res, standard
-        x_sc = _shortcut_down(x, self.ndim)
+        if self.accept_parity:
+            from ..ops.resize import downsample_bilinear_half_parity
+            x_sc = downsample_bilinear_half_parity(x, cin,
+                                                   align_corners=True)
+        else:
+            x_sc = _shortcut_down(x, self.ndim)
         if cin != cout:
             x_sc = Conv(cout, 1, in_features=cin, dtype=self.dtype,
                         ndim=self.ndim, name="project_input")(x_sc)
@@ -502,6 +530,42 @@ class GeneratorOutput(nn.Module):
         return x
 
 
+class ParityGeneratorOutput(nn.Module):
+    """``GeneratorOutput`` computed over a parity-stacked (B, H, W, 4*in)
+    tensor (same math as generator.py:115-129): folded-statistics
+    norm+act, a block-diagonal 1x1 conv (ops/parity.py::pack_point_conv
+    — 4x the MXU lanes of the full-resolution K=in_dims, N=data_dims
+    matmul), tanh on parity planes (pointwise, commutes with the layout
+    restore), then ONE depth-to-space over ``out_dims`` channels instead
+    of the tower's ``in_dims`` — the full-resolution pre-output tensor
+    never materializes. Param tree matches ``GeneratorOutput``
+    (NormAct_0/Conv_0), so checkpoints interoperate; ``Generator.setup``
+    swaps this in when the last tower block is a parity block.
+    """
+
+    in_dims: int
+    out_dims: int
+    norm: str = "bn"
+    activation: str = "relu"
+    output_activation: str = "tanh"
+    ndim: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, xp, train: bool = True):
+        from ..ops.parity import depth_to_space, pack_point_conv
+        assert self.ndim == 2, "parity G output: 2-D only"
+        xp = _ParityNormAct(self.in_dims, self.norm, self.activation,
+                            self.dtype, name="NormAct_0")(xp, train)
+        xp = xp.astype(self.dtype)
+        w, b = _ConvParams((1, 1, self.in_dims, self.out_dims),
+                           self.in_dims, name="Conv_0")()
+        yp = _conv_same(xp, pack_point_conv(w), jnp.tile(b, 4))
+        if self.output_activation == "tanh":
+            yp = jnp.tanh(yp)
+        return depth_to_space(yp, self.out_dims)
+
+
 class DiscriminatorInput(nn.Module):
     """1x1 conv image->features (discriminator.py:11-22)."""
 
@@ -515,6 +579,36 @@ class DiscriminatorInput(nn.Module):
         del train
         return Conv(self.out_dims, 1, in_features=self.in_dims,
                     dtype=self.dtype, ndim=self.ndim)(x.astype(self.dtype))
+
+
+class ParityDiscriminatorInput(nn.Module):
+    """``DiscriminatorInput`` (1x1 conv image->features,
+    discriminator.py:11-22) computed in the space-to-depth domain: the
+    image parity-stacks FIRST (a 3-channel transpose, the cheapest
+    tensor in the model), then the block-diagonal 1x1
+    (ops/parity.py::pack_point_conv) contracts K=4*data_dims into
+    N=4*out_dims — versus the full-resolution form's K=3, N=16, the
+    single worst MXU fill in the discriminator. Emits parity layout for
+    the first tower block (``accept_parity``); the full-resolution
+    feature tensor never exists. Param tree matches
+    ``DiscriminatorInput`` (Conv_0), so checkpoints interoperate;
+    ``Discriminator.setup`` swaps this in.
+    """
+
+    in_dims: int
+    out_dims: int
+    ndim: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = True):
+        del train
+        from ..ops.parity import pack_point_conv, space_to_depth
+        assert self.ndim == 2, "parity D input: 2-D only"
+        xp = space_to_depth(x.astype(self.dtype))
+        w, b = _ConvParams((1, 1, self.in_dims, self.out_dims),
+                           self.in_dims, name="Conv_0")()
+        return _conv_same(xp, pack_point_conv(w), jnp.tile(b, 4))
 
 
 class DiscriminatorBlock(nn.Module):

@@ -102,8 +102,26 @@ class Generator(nn.Module):
                 blocks.append(SelfAttention2d(out_dims, dtype=self.dtype,
                                  use_pallas=self.attn_use_pallas))
             in_dims = out_dims
+        output_block = output_factory(in_dims, cfg.data_dims, self.dtype)
+        # parity-domain output fusion: when the tower ends in a parity
+        # block and the output stage is the standard norm/act/1x1/tanh,
+        # keep the hand-off in the parity layout — the last block skips
+        # its depth-to-space and the output stage runs 4x-lane-filled at
+        # the small resolution (blocks.py::ParityGeneratorOutput; param
+        # trees are unchanged, so checkpoints interoperate both ways)
+        from .blocks import ParityGeneratorOutput, ParityResidualGeneratorBlock
+        if (blocks and isinstance(blocks[-1], ParityResidualGeneratorBlock)
+                and type(output_block) is GeneratorOutput
+                and output_block.ndim == 2
+                and output_block.norm in ("bn", "id")):
+            blocks[-1] = blocks[-1].clone(emit_parity=True)
+            output_block = ParityGeneratorOutput(
+                in_dims, cfg.data_dims, norm=output_block.norm,
+                activation=output_block.activation,
+                output_activation=output_block.output_activation,
+                dtype=self.dtype)
         self.blocks = blocks
-        self.output_block = output_factory(in_dims, cfg.data_dims, self.dtype)
+        self.output_block = output_block
 
     def __call__(self, z, train: bool = True):
         x = self.input_block(z, train)
@@ -137,7 +155,7 @@ class Discriminator(nn.Module):
         output_factory = self.output_factory or _default_d_output
 
         first_block_input_dims = cfg.blocks[-1]
-        self.input_block = input_factory(
+        input_block = input_factory(
             cfg.data_dims, first_block_input_dims, self.dtype
         )
         blocks = []
@@ -152,6 +170,23 @@ class Discriminator(nn.Module):
                                  use_pallas=self.attn_use_pallas))
             in_dims = out_dims
             first_block = False
+        # parity-domain input fusion (mirror of the G output fusion):
+        # when the first tower block is a parity block, parity-stack the
+        # IMAGE and run the input 1x1 block-diagonally — the first block
+        # consumes the parity layout directly and its bilinear shortcut
+        # samples straight from the parity planes (blocks.py::
+        # ParityDiscriminatorInput; param trees unchanged)
+        from .blocks import (
+            ParityDiscriminatorInput,
+            ParityResidualDiscriminatorBlock,
+        )
+        if (blocks and isinstance(blocks[0], ParityResidualDiscriminatorBlock)
+                and type(input_block) is DiscriminatorInput
+                and input_block.ndim == 2):
+            input_block = ParityDiscriminatorInput(
+                cfg.data_dims, first_block_input_dims, dtype=self.dtype)
+            blocks[0] = blocks[0].clone(accept_parity=True)
+        self.input_block = input_block
         self.blocks = blocks
         self.output_block = output_factory(in_dims, 1, self.dtype)
 

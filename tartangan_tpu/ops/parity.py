@@ -109,6 +109,24 @@ def pack_down_conv(w):
     return out
 
 
+def pack_point_conv(w):
+    """(1, 1, Cin, Cout) -> (1, 1, 4*Cin, 4*Cout) block-diagonal weights:
+    a 1x1 conv acts on each spatial position independently, so output
+    parity q reads only input parity q. Used to keep the generator's
+    output stage (norm -> act -> 1x1 -> tanh, reference
+    blocks/generator.py:115-129) in the parity domain: K and N grow 4x
+    (16->64 / 3->12 at config '128' — the worst-filled matmul in the
+    model otherwise) and the full-resolution pre-output tensor never
+    materializes."""
+    import jax.numpy as jnp
+    cin, cout = w.shape[2], w.shape[3]
+    out = jnp.zeros((1, 1, 4 * cin, 4 * cout), w.dtype)
+    for p in range(4):
+        out = out.at[0, 0, p * cin:(p + 1) * cin,
+                     p * cout:(p + 1) * cout].set(w[0, 0])
+    return out
+
+
 def depth_to_space(y, cout):
     """(B, H, W, 4*C) parity channels -> (B, 2H, 2W, C); channel-block
     index 2*qy + qx."""

@@ -89,6 +89,31 @@ def downsample_bilinear_half(x, align_corners: bool = True):
     return resize_bilinear(x, h // 2, w // 2, align_corners=align_corners)
 
 
+def downsample_bilinear_half_parity(xp, c, align_corners: bool = True):
+    """Bilinear 0.5x of a FULL-resolution tensor given only its
+    parity-stacked (B, H/2, W/2, 4C) form (ops/parity.py layout, channel
+    block 2*py + px): equals ``downsample_bilinear_half(depth_to_space(
+    xp, c))`` without ever materializing the full-resolution tensor.
+
+    The 1-D interpolation matrix's column index k = 2m + p regroups
+    exactly into (coarse index m, parity p), so the H and W contractions
+    become einsums over the split axes — still plain MXU matmuls. Used by
+    the parity D block's shortcut when its input arrives parity-stacked
+    (blocks.py::ParityResidualDiscriminatorBlock ``accept_parity``).
+    """
+    b, h2, w2, _ = xp.shape
+    x6 = xp.reshape(b, h2, w2, 2, 2, c)
+    dtype = xp.dtype
+    Ah = jnp.asarray(
+        _linear_interp_matrix(2 * h2, h2, align_corners), dtype
+    ).reshape(h2, h2, 2)
+    Aw = jnp.asarray(
+        _linear_interp_matrix(2 * w2, w2, align_corners), dtype
+    ).reshape(w2, w2, 2)
+    x6 = jnp.einsum("imp,bmwpqc->biwqc", Ah, x6)
+    return jnp.einsum("jwq,bhwqc->bhjc", Aw, x6)
+
+
 def avg_pool_2x(x):
     """2x2/stride-2 average pool on NHWC."""
     return jax.lax.reduce_window(

@@ -290,3 +290,199 @@ def test_factory_routes_parity_blocks():
     # selu (any activation) is fine; 1-D is not
     gf1d = F.g_block_factory("bn", "relu", ndim=1, parity=True)
     assert isinstance(gf1d(32, 16), ResidualGeneratorBlock)
+
+
+# -------------------------------------------------- G output-stage fusion
+def _build_generator(parity, cfg=None, remat=False):
+    from tartangan_tpu.configs import GAN_CONFIGS
+    from tartangan_tpu.models import factories as F
+    from tartangan_tpu.models.pluggan import Generator
+    cfg = cfg or GAN_CONFIGS["16"]
+    return cfg, Generator(
+        cfg,
+        input_factory=F.g_input_factory("mlp", "relu"),
+        block_factory=F.g_block_factory("bn", "relu", parity=parity,
+                                        remat=remat),
+        output_factory=F.g_output_factory("bn", "relu"),
+    )
+
+
+def test_generator_fuses_parity_output():
+    """With parity blocks on, Generator swaps the output stage for the
+    parity-domain form and the last tower block hands off in parity
+    layout (no full-resolution pre-output tensor)."""
+    from tartangan_tpu.models.blocks import ParityGeneratorOutput
+    cfg, g = _build_generator(True)
+    z = jnp.zeros((2, cfg.latent_dims), jnp.float32)
+    v = g.init(jax.random.PRNGKey(0), z, train=True)
+    bound = g.bind(v)
+    assert isinstance(bound.output_block, ParityGeneratorOutput)
+    assert bound.blocks[-1].emit_parity
+    # remat-wrapped parity blocks fuse the same way (ADVICE r3 made
+    # remat cover the parity variants; the clone must preserve the wrap)
+    cfg, g_rm = _build_generator(True, remat=True)
+    v_rm = g_rm.init(jax.random.PRNGKey(0), z, train=True)
+    bound_rm = g_rm.bind(v_rm)
+    assert isinstance(bound_rm.output_block, ParityGeneratorOutput)
+    assert bound_rm.blocks[-1].emit_parity
+    assert type(bound_rm.blocks[-1]).__name__.startswith("Checkpoint")
+
+
+def test_generator_parity_output_matches_flax(rng):
+    """Same params, parity generator (incl fused output) == flax
+    generator: forward, running stats, grads — and param trees are
+    identical by construction (checkpoints interoperate)."""
+    cfg, g_flax = _build_generator(False)
+    _, g_par = _build_generator(True)
+    z = jnp.asarray(rng.standard_normal((4, cfg.latent_dims)), jnp.float32)
+    v = g_flax.init(jax.random.PRNGKey(0), z, train=True)
+    v2 = g_par.init(jax.random.PRNGKey(1), z, train=True)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+
+    def run(g):
+        out, upd = g.apply(v, z, train=True, mutable=["batch_stats"])
+        return out, upd["batch_stats"]
+
+    out_f, bs_f = run(g_flax)
+    out_p, bs_p = run(g_par)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_f),
+                               rtol=1e-4, atol=1e-5)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(bs_p),
+            jax.tree_util.tree_leaves_with_path(bs_f)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(pa))
+
+    def loss(params, g):
+        out, _ = g.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            z, train=True, mutable=["batch_stats"])
+        return jnp.sum(jnp.square(out.astype(jnp.float32)))
+
+    gf = jax.grad(loss)(v["params"], g_flax)
+    gp = jax.grad(loss)(v["params"], g_par)
+    # tolerance rides the GLOBAL gradient scale: bias grads nearly cancel
+    # (sums over batch+space), so per-leaf relative comparison is
+    # meaningless noise-vs-noise there; exact per-op math is pinned in
+    # f64 by test_g_block_grads_f64
+    gmax = max(float(np.max(np.abs(np.asarray(leaf))))
+               for leaf in jax.tree_util.tree_leaves(gf))
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gp),
+            jax.tree_util.tree_leaves_with_path(gf)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4 * gmax,
+            err_msg=jax.tree_util.keystr(pa))
+
+    # eval mode uses the running averages through the folded path
+    out_fe = g_flax.apply(v, z, train=False)
+    out_pe = g_par.apply(v, z, train=False)
+    np.testing.assert_allclose(np.asarray(out_pe), np.asarray(out_fe),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_generator_no_fusion_when_attention_last(rng):
+    """A trailing SelfAttention2d blocks the hand-off — the output stage
+    stays the standard full-resolution module."""
+    import dataclasses
+    from tartangan_tpu.configs import GAN_CONFIGS
+    from tartangan_tpu.models.blocks import GeneratorOutput
+    cfg = dataclasses.replace(GAN_CONFIGS["16"], attention=(1,))
+    _, g = _build_generator(True, cfg=cfg)
+    z = jnp.zeros((2, cfg.latent_dims), jnp.float32)
+    v = g.init(jax.random.PRNGKey(0), z, train=True)
+    bound = g.bind(v)
+    assert isinstance(bound.output_block, GeneratorOutput)
+
+
+# -------------------------------------------------- D input-stage fusion
+def test_downsample_bilinear_half_parity(rng):
+    """Bilinear 0.5x from parity planes == bilinear 0.5x of the restored
+    full-resolution tensor (both align_corners conventions)."""
+    from tartangan_tpu.ops.resize import (
+        downsample_bilinear_half,
+        downsample_bilinear_half_parity,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 12, 8, 5)), jnp.float32)
+    xp = space_to_depth(x)
+    for ac in (True, False):
+        ref = downsample_bilinear_half(x, align_corners=ac)
+        out = downsample_bilinear_half_parity(xp, 5, align_corners=ac)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def _build_discriminator(parity, cfg=None):
+    from tartangan_tpu.configs import GAN_CONFIGS
+    from tartangan_tpu.models import factories as F
+    from tartangan_tpu.models.pluggan import Discriminator
+    cfg = cfg or GAN_CONFIGS["16"]
+    return cfg, Discriminator(
+        cfg,
+        block_factory=F.d_block_factory("bn", "relu", parity=parity),
+        output_factory=F.d_output_factory("bn", "relu"),
+    )
+
+
+def test_discriminator_fuses_parity_input():
+    from tartangan_tpu.models.blocks import ParityDiscriminatorInput
+    cfg, d = _build_discriminator(True)
+    x = jnp.zeros((2, cfg.max_size, cfg.max_size, 3), jnp.float32)
+    v = d.init(jax.random.PRNGKey(0), x, train=True)
+    bound = d.bind(v)
+    assert isinstance(bound.input_block, ParityDiscriminatorInput)
+    assert bound.blocks[0].accept_parity
+
+
+def test_discriminator_parity_input_matches_flax(rng):
+    """Same params: parity D (incl fused input + parity-plane bilinear
+    shortcut) == flax D for forward, stats, param grads AND the R1
+    double gradient (D sits under grad-of-grad in the train step)."""
+    cfg, d_flax = _build_discriminator(False)
+    _, d_par = _build_discriminator(True)
+    x = jnp.asarray(rng.standard_normal(
+        (4, cfg.max_size, cfg.max_size, 3)), jnp.float32)
+    v = d_flax.init(jax.random.PRNGKey(0), x, train=True)
+    v2 = d_par.init(jax.random.PRNGKey(1), x, train=True)
+    assert (jax.tree_util.tree_structure(v)
+            == jax.tree_util.tree_structure(v2))
+
+    def run(d):
+        out, upd = d.apply(v, x, train=True, mutable=["batch_stats"])
+        return out, upd["batch_stats"]
+
+    out_f, bs_f = run(d_flax)
+    out_p, bs_p = run(d_par)
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_f),
+                               rtol=1e-4, atol=1e-4)
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(bs_p),
+            jax.tree_util.tree_leaves_with_path(bs_f)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5,
+            err_msg=jax.tree_util.keystr(pa))
+
+    def r1_loss(params, d):
+        def d_sum(xx):
+            out, _ = d.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                xx, train=True, mutable=["batch_stats"])
+            return jnp.sum(out.astype(jnp.float32))
+        gx = jax.grad(d_sum)(x)
+        out, _ = d.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])
+        return jnp.sum(jnp.square(gx)) + jnp.sum(jnp.square(out))
+
+    gf = jax.grad(r1_loss)(v["params"], d_flax)
+    gp = jax.grad(r1_loss)(v["params"], d_par)
+    gmax = max(float(np.max(np.abs(np.asarray(leaf))))
+               for leaf in jax.tree_util.tree_leaves(gf))
+    for (pa, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gp),
+            jax.tree_util.tree_leaves_with_path(gf)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4 * gmax,
+            err_msg=jax.tree_util.keystr(pa))
