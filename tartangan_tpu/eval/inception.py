@@ -48,17 +48,7 @@ class InceptionWrapper:
         else:
             self.pretrained = False
         self.variables = variables
-
-        @jax.jit
-        def forward(variables, images):
-            x = (images.astype(jnp.float32) + 1.0) / 2.0
-            x = (x - VGG_MEAN) / VGG_STD
-            if x.shape[1] != 299 or x.shape[2] != 299:
-                x = resize_bilinear(x, 299, 299, align_corners=True)
-            pool, logits = self.model.apply(variables, x)
-            return pool, jax.nn.softmax(logits, axis=-1)
-
-        self._forward = forward
+        self._forward = _inception_forward
 
     def replicate_over(self, mesh):
         """Replicate the Inception weights over a device mesh so the jitted
@@ -69,7 +59,19 @@ class InceptionWrapper:
             self.variables, replicated_sharding(mesh))
 
     def __call__(self, images):
-        return self._forward(self.variables, images)
+        return self._forward(self.model, self.variables, images)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _inception_forward(model, variables, images):
+    # module-level so the compiled forward is shared across wrapper
+    # instances (flax modules hash by config; weights arrive as args)
+    x = (images.astype(jnp.float32) + 1.0) / 2.0
+    x = (x - VGG_MEAN) / VGG_STD
+    if x.shape[1] != 299 or x.shape[2] != 299:
+        x = resize_bilinear(x, 299, 299, align_corners=True)
+    pool, logits = model.apply(variables, x)
+    return pool, jax.nn.softmax(logits, axis=-1)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -13,6 +13,7 @@ All convs are bias-free + BatchNorm(eps=1e-3) + ReLU (torchvision
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Tuple
 
 import flax.linen as nn
@@ -215,7 +216,19 @@ def init_inception(dtype=jnp.float32, seed: int = 0):
     InceptionV3 init graph through a TPU AOT compiler takes minutes, while
     the parameters themselves transfer to the accelerator lazily on first
     use anyway.
+
+    Memoized: the returned (model, variables) pair is SHARED between
+    callers — treat the variables tree as read-only (every in-repo
+    consumer builds fresh trees from it: port_torch_state_dict,
+    load_weights_npz, resolve_pretrained). Building one wrapper per CLI
+    stage (moments, FID component, port tests) would otherwise re-pay the
+    multi-second init compile each time.
     """
+    return _init_inception_cached(dtype, seed)
+
+
+@functools.lru_cache(maxsize=2)
+def _init_inception_cached(dtype, seed):
     model = InceptionV3Features(dtype=dtype)
     try:
         cpu = jax.devices("cpu")[0]

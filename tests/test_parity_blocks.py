@@ -157,20 +157,24 @@ def test_g_block_grads(g_pair):
             return jnp.sum(out ** 2)
         return f
 
-    gf_p, gf_x = jax.grad(loss(flax_block), argnums=(0, 1))(
+    gf_p, gf_x = jax.jit(jax.grad(loss(flax_block), argnums=(0, 1)))(
         flax_vars["params"], x)
-    gp_p, gp_x = jax.grad(loss(pblock), argnums=(0, 1))(
+    gp_p, gp_x = jax.jit(jax.grad(loss(pblock), argnums=(0, 1)))(
         flax_vars["params"], x)
     # f32 tolerance is reassociation-limited (the packing reorders the
-    # pixel reductions); test_g_block_grads_f64 pins the math itself
+    # pixel reductions); bias grads nearly cancel (sums over batch+space)
+    # so atol rides the GLOBAL gradient scale. test_g_block_grads_f64
+    # pins the math itself.
     np.testing.assert_allclose(np.asarray(gp_x), np.asarray(gf_x),
                                rtol=2e-3, atol=1e-3)
+    gmax = max(float(np.max(np.abs(np.asarray(leaf))))
+               for leaf in jax.tree_util.tree_leaves(gf_p))
     for path_leaf, ref_leaf in zip(
             jax.tree_util.tree_leaves_with_path(gp_p),
             jax.tree_util.tree_leaves(gf_p)):
         np.testing.assert_allclose(
             np.asarray(path_leaf[1]), np.asarray(ref_leaf),
-            rtol=2e-3, atol=1e-3,
+            rtol=2e-3, atol=2e-4 * gmax,
             err_msg=jax.tree_util.keystr(path_leaf[0]))
 
 
@@ -194,8 +198,8 @@ def test_g_block_grads_f64(rng):
                 return jnp.sum(out ** 2)
             return f
 
-        gf = jax.grad(loss(fblock))(fvars["params"])
-        gp = jax.grad(loss(pblock))(fvars["params"])
+        gf = jax.jit(jax.grad(loss(fblock)))(fvars["params"])
+        gp = jax.jit(jax.grad(loss(pblock)))(fvars["params"])
         for path_leaf, ref_leaf in zip(
                 jax.tree_util.tree_leaves_with_path(gp),
                 jax.tree_util.tree_leaves(gf)):
@@ -263,7 +267,7 @@ def test_d_block_r1_double_grad(d_pair):
                 return jnp.sum(out.astype(jnp.float32))
             gx = jax.grad(d_sum)(x)
             return jnp.sum(jnp.square(gx))
-        return jax.grad(penalty)(flax_vars["params"])
+        return jax.jit(jax.grad(penalty))(flax_vars["params"])
 
     ref = r1(flax_block)
     got = r1(pblock)
@@ -361,8 +365,9 @@ def test_generator_parity_output_matches_flax(rng):
             z, train=True, mutable=["batch_stats"])
         return jnp.sum(jnp.square(out.astype(jnp.float32)))
 
-    gf = jax.grad(loss)(v["params"], g_flax)
-    gp = jax.grad(loss)(v["params"], g_par)
+    g_grad = jax.jit(jax.grad(loss), static_argnums=1)
+    gf = g_grad(v["params"], g_flax)
+    gp = g_grad(v["params"], g_par)
     # tolerance rides the GLOBAL gradient scale: bias grads nearly cancel
     # (sums over batch+space), so per-leaf relative comparison is
     # meaningless noise-vs-noise there; exact per-op math is pinned in
@@ -476,8 +481,11 @@ def test_discriminator_parity_input_matches_flax(rng):
             x, train=True, mutable=["batch_stats"])
         return jnp.sum(jnp.square(gx)) + jnp.sum(jnp.square(out))
 
-    gf = jax.grad(r1_loss)(v["params"], d_flax)
-    gp = jax.grad(r1_loss)(v["params"], d_par)
+    # jitted: op-by-op dispatch of the double-grad graph dominates suite
+    # wall-clock on this 1-core box; the compile hits the persistent cache
+    r1_grad = jax.jit(jax.grad(r1_loss), static_argnums=1)
+    gf = r1_grad(v["params"], d_flax)
+    gp = r1_grad(v["params"], d_par)
     gmax = max(float(np.max(np.abs(np.asarray(leaf))))
                for leaf in jax.tree_util.tree_leaves(gf))
     for (pa, a), (_, b) in zip(
