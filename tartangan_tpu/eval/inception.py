@@ -85,16 +85,20 @@ def accumulate_activations(sample_fn, net: InceptionWrapper,
     """Loop ``sample_fn()`` batches through the net until ``num_images``
     activations are gathered (reference inception_utils.py:249-268).
 
-    Returns (softmax_logits ndarray (N,1000), mu (2048,), sigma (2048,2048))
-    with moments computed via streaming sums on device.
+    Returns (softmax_logits ndarray (N,1000), mu (P,), sigma (P,P)) with
+    moments computed via streaming sums on device; P is the net's pool
+    width (2048 for InceptionV3), taken from the first batch.
     """
     logits_chunks = []
     n = 0
-    sum_x = jnp.zeros((2048,), jnp.float32)
-    sum_xxt = jnp.zeros((2048, 2048), jnp.float32)
+    sum_x = sum_xxt = None
     while n < num_images:
         images = sample_fn()
         pool, probs = net(images)
+        if sum_x is None:
+            p = pool.shape[-1]
+            sum_x = jnp.zeros((p,), jnp.float32)
+            sum_xxt = jnp.zeros((p, p), jnp.float32)
         sum_x, sum_xxt = _accumulate_moments(sum_x, sum_xxt, pool)
         logits_chunks.append(np.asarray(probs))
         n += images.shape[0]

@@ -209,37 +209,50 @@ class InceptionV3Features(nn.Module):
 
 
 def init_inception(dtype=jnp.float32, seed: int = 0):
-    """Random-init variables (used when pretrained weights are absent and
-    by the port-parity tests).
+    """Template variables with pseudo-random values (used when pretrained
+    weights are absent and by the port-parity tests).
 
-    Init runs pinned to the CPU backend: tracing/compiling the full
-    InceptionV3 init graph through a TPU AOT compiler takes minutes, while
-    the parameters themselves transfer to the accelerator lazily on first
-    use anyway.
+    The tree is built from ``jax.eval_shape`` of the flax init (shape/dtype
+    tracing only — never compiled or executed) and filled host-side: conv /
+    fc kernels get small numpy normals, biases zero, BN stats the
+    fresh-layer (0, 1). The values carry no contract — every real consumer
+    overwrites them via port_torch_state_dict / load_weights_npz /
+    resolve_pretrained — but compiling the 23M-param init graph costs ~12 s
+    on this host's CPU backend (minutes through the TPU tunnel's AOT
+    compiler), paid per process by every CLI stage that builds a wrapper.
 
     Memoized: the returned (model, variables) pair is SHARED between
-    callers — treat the variables tree as read-only (every in-repo
-    consumer builds fresh trees from it: port_torch_state_dict,
-    load_weights_npz, resolve_pretrained). Building one wrapper per CLI
-    stage (moments, FID component, port tests) would otherwise re-pay the
-    multi-second init compile each time.
+    callers — treat the variables tree as read-only.
     """
     return _init_inception_cached(dtype, seed)
 
 
 @functools.lru_cache(maxsize=2)
 def _init_inception_cached(dtype, seed):
+    import flax
+
     model = InceptionV3Features(dtype=dtype)
-    try:
-        cpu = jax.devices("cpu")[0]
-    except RuntimeError:
-        cpu = None
-    ctx = jax.default_device(cpu) if cpu is not None else _nullcontext()
-    with ctx:
-        variables = model.init(
-            jax.random.PRNGKey(seed),
-            jnp.zeros((1, 299, 299, 3), jnp.float32))
-    return model, variables
+    shapes = jax.eval_shape(
+        model.init, jax.random.PRNGKey(0),
+        jnp.zeros((1, 299, 299, 3), jnp.float32))
+    flat = flax.traverse_util.flatten_dict(
+        jax.tree_util.tree_map(lambda s: (s.shape, s.dtype), shapes),
+        sep=".")
+    rng = np.random.default_rng(seed)
+    out = {}
+    for key, (shape, dt) in flat.items():
+        leaf = key.split(".")[-1]
+        if leaf in ("scale", "var"):
+            val = np.ones(shape)
+        elif leaf in ("bias", "mean"):
+            val = np.zeros(shape)
+        else:  # conv/fc kernels: fan-in-ish scale keeps activations finite
+            fan_in = int(np.prod(shape[:-1])) or 1
+            val = rng.normal(0.0, fan_in ** -0.5, shape)
+        out[key] = jnp.asarray(val.astype(dt))
+    variables = flax.core.freeze(flax.traverse_util.unflatten_dict(
+        out, sep="."))
+    return model, flax.core.unfreeze(variables)
 
 
 class _nullcontext:
@@ -324,7 +337,9 @@ def save_weights_npz(variables, path):
     import flax
 
     flat = flax.traverse_util.flatten_dict(variables, sep=".")
-    np.savez_compressed(path, **{k: np.asarray(v) for k, v in flat.items()})
+    # uncompressed: f32 weight tensors barely deflate (~5%) and zlib costs
+    # multiple seconds per save/load of the 90 MB tree
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
 
 
 def load_weights_npz(variables, path):

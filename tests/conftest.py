@@ -23,7 +23,7 @@ jax.config.update("jax_platforms", "cpu")
 # tests and across runs (cache lives outside the repo tree)
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/tartangan_jax_cache"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

@@ -1,8 +1,10 @@
 """FID pipeline integration: moments CLI -> FID training component.
 
-Runs the real InceptionV3 graph with random-init weights (pretrained weights
-are absent in CI); validates plumbing and that FID(dataset, dataset-like
-generator) is finite and ordering-sane.
+Validates plumbing and that FID(dataset, dataset-like generator) is finite
+and ordering-sane. Uses a small deterministic stand-in net (64-dim pool):
+at 2048 dims the Newton-Schulz sqrtm alone costs ~30 s of 1-core CPU per
+FID call, and the REAL InceptionV3 graph at full width is already pinned
+end-to-end (moments CLI -> --fid training) by test_fid_recipe.py.
 """
 import numpy as np
 import pytest
@@ -10,10 +12,36 @@ import pytest
 import tartangan_tpu.eval.inception as einc
 
 
+class _TinyNet:
+    """InceptionWrapper stand-in: fixed random projection -> (pool, probs).
+
+    Deterministic and input-sensitive, so moments/FID over it behave like
+    a real feature extractor (same-distribution FID small, noise FID big).
+    """
+
+    pool_dims = 64
+
+    def __init__(self, *a, **kw):
+        rng = np.random.default_rng(7)
+        self.w = rng.standard_normal((3 * 8 * 8, self.pool_dims)).astype(
+            np.float32) / 8.0
+        self.wc = rng.standard_normal((self.pool_dims, 10)).astype(
+            np.float32)
+
+    def __call__(self, images):
+        x = np.asarray(images, np.float32)
+        b, h, w, c = x.shape
+        # 8x8 average-pool grid -> flatten -> fixed projection
+        x = x.reshape(b, 8, h // 8, 8, w // 8, c).mean((2, 4))
+        pool = np.tanh(x.reshape(b, -1) @ self.w)
+        logits = pool @ self.wc
+        e = np.exp(logits - logits.max(-1, keepdims=True))
+        return pool, e / e.sum(-1, keepdims=True)
+
+
 @pytest.fixture(scope="module")
 def small_net():
-    # random-init inception (no pretrained download in CI)
-    return einc.InceptionWrapper(pretrained=False)
+    return _TinyNet()
 
 
 def test_moments_and_fid_closure(tmp_path, rng, small_net, monkeypatch):
@@ -26,8 +54,8 @@ def test_moments_and_fid_closure(tmp_path, rng, small_net, monkeypatch):
     ds = ImageBytesDataset(images)
     mu, sigma = calculate_inception_moments(
         ds, batch_size=8, quiet=True, net=small_net)
-    assert mu.shape == (2048,)
-    assert sigma.shape == (2048, 2048)
+    assert mu.shape == (small_net.pool_dims,)
+    assert sigma.shape == (small_net.pool_dims, small_net.pool_dims)
 
     moments_path = tmp_path / "moments.npz"
     with smart_open(str(moments_path), "wb") as f:

@@ -109,8 +109,11 @@ def test_block_variant_flags(tiny_archive, tmp_path):
     Pallas gblock is a tests+docs-only comparison baseline since round 4 —
     measured slower than the parity rewrite and R1-incompatible, its CLI
     flag was dropped; tests/test_fused_gblock.py keeps it honest.)"""
+    # sampling/checkpointing off: this test asserts training only, and the
+    # sampler would compile a second (eval-mode) parity executable
     t2 = make_trainer(tiny_archive, tmp_path,
-                      extra=["--parity-blocks", "on", "--run-id", "pb"])
+                      extra=["--parity-blocks", "on", "--run-id", "pb",
+                             "--gen-freq", "100", "--checkpoint-freq", "100"])
     t2.train()
     assert all(np.isfinite(float(v)) for v in t2.logs["g_loss"])
     # parity blocks share the flax param tree; routing is pinned by
