@@ -10,10 +10,14 @@ FLOPs denominator. This probe publishes the arithmetic:
 2. The honest ms/step (k-sweep slope between K=8 and K=32 chunks of the
    same executable — the difference cancels the relay's ~60-67 ms fixed
    launch+fence cost AND any residual per-dispatch overhead).
-3. achieved TFLOP/s = flops / ms, MFU vs the measured 112 TFLOP/s dense
-   peak and vs the v5e spec-sheet ~197 TFLOP/s bf16.
-4. A dense-matmul shape/dtype sweep to bound the chip's real matmul
-   peak (is 112 the silicon, the shapes, or the relay?).
+3. achieved TFLOP/s = flops / ms, MFU vs the measured ~190 TFLOP/s
+   dense peak and vs the v5e spec-sheet ~197 TFLOP/s bf16.
+4. A dense-matmul shape/dtype sweep that bounds the chip's real matmul
+   peak. ANSWERED 2026-08-18: 4096^3/8192^3/16384^3 bf16 reach
+   180-191 TFLOP/s (~96% of spec) — round 2/3's "112 TFLOP/s measured
+   peak" was a measurement-shape artifact (4096^3 with a k-delta too
+   small for the relay's fixed-cost jitter), now retracted in
+   docs/PERF.md.
 
 Run on the TPU: ``python benchmarks/probe_mfu.py [--skip-sweep]``.
 CPU smoke: ``--backend cpu --configs 8`` (numbers meaningless, wiring
@@ -150,14 +154,17 @@ def matmul_peak_sweep():
     import jax.numpy as jnp
     rows = []
     for dtype, n in (("bfloat16", 2048), ("bfloat16", 4096),
-                     ("bfloat16", 8192), ("float32", 4096)):
+                     ("bfloat16", 8192), ("bfloat16", 16384),
+                     ("float32", 4096)):
         dt = jnp.bfloat16 if dtype == "bfloat16" else jnp.float32
         a = jnp.asarray(np.random.default_rng(0).standard_normal((n, n)),
                         dt)
 
+        scale = float(1.0 / np.sqrt(n))  # python float: weak-typed, keeps bf16
+
         def chain(a, k):
             def body(x, _):
-                y = (x @ a) * (1.0 / np.sqrt(n))
+                y = ((x @ a) * scale).astype(x.dtype)
                 return y, ()
             return jax.lax.scan(body, a, None, length=k)[0]
 
@@ -175,12 +182,18 @@ def matmul_peak_sweep():
                 ts.append(time.perf_counter() - t0)
             return min(ts)
 
-        t8, t32 = timed(8), timed(32)
-        per_mm = (t32 - t8) / 24.0
+        # Scale the k-sweep so the k_hi - k_lo delta is >= ~2.5e12 FLOPs
+        # (>= ~15 ms of matmul work): smaller deltas drown in the relay's
+        # fixed-cost jitter and produce nonsense slopes (a 4096^3 run with
+        # k 8->32 once read 667 TFLOP/s).
+        dk = max(24, int(np.ceil(5e12 / (2 * n ** 3))))
+        k_lo = 8
+        t_lo, t_hi = timed(k_lo), timed(k_lo + dk)
+        per_mm = (t_hi - t_lo) / dk
         tflops = 2 * n ** 3 / per_mm / 1e12
         rows.append((dtype, n, per_mm * 1e3, tflops))
-        print(f"  {dtype:9s} {n:5d}^3: {per_mm*1e3:8.3f} ms/matmul "
-              f"= {tflops:7.1f} TFLOP/s")
+        print(f"  {dtype:9s} {n:5d}^3 (dk={dk}): {per_mm*1e3:8.3f} "
+              f"ms/matmul = {tflops:7.1f} TFLOP/s", flush=True)
     return rows
 
 
@@ -201,6 +214,8 @@ def main():
                    help="comma list of WORKLOADS keys (or a config name "
                         "for a one-off)")
     p.add_argument("--skip-sweep", action="store_true")
+    p.add_argument("--sweep-only", action="store_true",
+                   help="run just the dense-matmul peak sweep")
     p.add_argument("--skip-timing", action="store_true",
                    help="cost_analysis only (no device timing)")
     args = p.parse_args()
@@ -212,10 +227,11 @@ def main():
         import bench
         bench.enter_honest_mode()
 
-    names = (args.configs.split(",") if args.configs
+    names = ([] if args.sweep_only
+             else args.configs.split(",") if args.configs
              else list(WORKLOADS))
     print("workload, flops/step, GB touched, honest ms/step, "
-          "achieved TFLOP/s, MFU vs 112 peak, MFU vs 197 spec")
+          "achieved TFLOP/s, MFU vs 190 measured peak, MFU vs 197 spec")
     for name in names:
         kw = WORKLOADS.get(name, dict(config=name, batch_size=8))
         flops, byts = step_cost(**kw)
@@ -226,7 +242,7 @@ def main():
         tf = flops / (ms / 1e3) / 1e12
         print(f"{name}: {flops:.3e} flops, {byts/1e9:.2f} GB, "
               f"{ms:.2f} ms, {tf:.1f} TFLOP/s, "
-              f"MFU {100*tf/112:.1f}% / {100*tf/197:.1f}%")
+              f"MFU {100*tf/190:.1f}% / {100*tf/197:.1f}%")
 
     if not args.skip_sweep and jax.default_backend() == "tpu":
         print("dense matmul peak sweep:")

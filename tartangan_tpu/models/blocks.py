@@ -318,6 +318,19 @@ def _conv_same(x, w, b=None):
     return y
 
 
+def _conv_down2_pad1(x, w, b=None):
+    """Stride-2 conv with padding ((1,1),(1,1)) — the parity-domain form
+    of conv+avgpool with parity-stacked output (pack_down_parity_conv:
+    output parity index j reads input parity window 2j-1 .. 2j+2)."""
+    import jax
+    y = jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (2, 2), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
 class ParityResidualGeneratorBlock(nn.Module):
     """``ResidualGeneratorBlock`` computed in the parity (sub-pixel)
     domain — identical math (reference generator.py:32-62), rewritten so
@@ -396,12 +409,20 @@ class ParityResidualDiscriminatorBlock(nn.Module):
     gradient works through it.
 
     ``accept_parity=True`` (set by ``Discriminator.setup`` on the FIRST
-    block when a ``ParityDiscriminatorInput`` precedes it) takes the
-    input already parity-stacked: the block skips its own
-    space-to-depth, and the bilinear shortcut samples the full-res
-    signal directly from the parity planes
-    (ops/resize.py::downsample_bilinear_half_parity) — the
+    block when a ``ParityDiscriminatorInput`` precedes it, and on any
+    block following an ``emit_parity`` one) takes the input already
+    parity-stacked: the block skips its own space-to-depth, and the
+    bilinear shortcut samples the full-res signal directly from the
+    parity planes (ops/resize.py::downsample_bilinear_half_parity) — the
     full-resolution feature tensor never exists.
+
+    ``emit_parity=True`` (set by ``Discriminator.setup`` when the NEXT
+    tower block is also a parity block) keeps the OUTPUT parity-stacked:
+    conv2+avgpool run as one stride-2 conv with
+    ``pack_down_parity_conv`` weights (N = 4*out lanes instead of
+    ``pack_down_conv``'s quarter-filled N = out — 2.25x less MXU-pass
+    work), and the shortcut downsamples parity-to-parity; the
+    standard-layout half-resolution tensor never materializes.
 
     Param tree matches the flax block; checkpoints interoperate.
     """
@@ -414,6 +435,7 @@ class ParityResidualDiscriminatorBlock(nn.Module):
     ndim: int = 2
     dtype: Dtype = jnp.float32
     accept_parity: bool = False
+    emit_parity: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = True):
@@ -441,6 +463,25 @@ class ParityResidualDiscriminatorBlock(nn.Module):
                             else "NormAct_1")(y1p, train)
         h2 = h2.astype(self.dtype)
         w2, b2 = _ConvParams((3, 3, cout, cout), 9 * cout, name="Conv_1")()
+        if self.emit_parity:
+            from ..ops.parity import pack_down_parity_conv, pack_point_conv
+            # conv2+pool emitting s=2 parity of the half resolution
+            y2 = _conv_down2_pad1(h2, pack_down_parity_conv(w2),
+                                  jnp.tile(b2, 4))
+            if self.accept_parity:
+                from ..ops.resize import (
+                    downsample_bilinear_half_parity_to_parity,
+                )
+                x_sc = downsample_bilinear_half_parity_to_parity(
+                    x, cin, align_corners=True)
+            else:
+                x_sc = space_to_depth(_shortcut_down(x, self.ndim))
+            if cin != cout:
+                wp, bp = _ConvParams((1, 1, cin, cout), cin,
+                                     name="project_input")()
+                x_sc = _conv_same(x_sc, pack_point_conv(wp),
+                                  jnp.tile(bp, 4))
+            return x_sc + y2
         y2 = _conv_same(h2, pack_down_conv(w2), b2)  # half res, standard
         if self.accept_parity:
             from ..ops.resize import downsample_bilinear_half_parity

@@ -57,6 +57,22 @@ def _default_d_output(in_dims, out_dims, dtype):
     return DiscriminatorOutput(in_dims, out_dims, dtype=dtype)
 
 
+def _chain_parity_d_blocks(blocks):
+    """Keep consecutive parity D blocks in the parity layout across the
+    block seam: the earlier block emits s=2-parity half-res
+    (pack_down_parity_conv — lane-filled N and no standard-layout
+    round-trip) and the later one consumes it directly. Attention or
+    non-parity blocks between them break the chain (they expect standard
+    layout). Mutates ``blocks`` in place."""
+    from .blocks import ParityResidualDiscriminatorBlock
+    for i in range(len(blocks) - 1):
+        if (isinstance(blocks[i], ParityResidualDiscriminatorBlock)
+                and isinstance(blocks[i + 1],
+                               ParityResidualDiscriminatorBlock)):
+            blocks[i] = blocks[i].clone(emit_parity=True)
+            blocks[i + 1] = blocks[i + 1].clone(accept_parity=True)
+
+
 class Generator(nn.Module):
     """Upsampling stack: input -> per-scale blocks (+SA) -> output
     (pluggan.py:58-85)."""
@@ -186,6 +202,7 @@ class Discriminator(nn.Module):
             input_block = ParityDiscriminatorInput(
                 cfg.data_dims, first_block_input_dims, dtype=self.dtype)
             blocks[0] = blocks[0].clone(accept_parity=True)
+        _chain_parity_d_blocks(blocks)
         self.input_block = input_block
         self.blocks = blocks
         self.output_block = output_factory(in_dims, 1, self.dtype)
@@ -233,6 +250,7 @@ class IQNDiscriminator(nn.Module):
                 blocks.append(SelfAttention2d(out_dims, dtype=self.dtype,
                                  use_pallas=self.attn_use_pallas))
             in_dims = out_dims
+        _chain_parity_d_blocks(blocks)
         self.blocks = blocks
         self.output_block = output_factory(in_dims, 1, self.dtype)
 

@@ -109,6 +109,45 @@ def pack_down_conv(w):
     return out
 
 
+def _pack_down_parity_matrix():
+    """Per-dim (4, 2, 2, 3) selection matrix S[a, p, q, s] for
+    ``pack_down_parity_conv``: tap a (offset o = a - 1 in the INPUT
+    parity domain, stride 2), input parity p, output parity q, source
+    tap s (d = s - 1). Entry 0.5 iff the pooled pair index
+    r = 2*(a-1) + p - 2*q - (s-1) lands in {0, 1} (each output half-res
+    position averages conv outputs at full-res 4j + 2q + r)."""
+    S = np.zeros((4, 2, 2, 3), np.float32)
+    for a in range(4):
+        for p in range(2):
+            for q in range(2):
+                for s in range(3):
+                    r = 2 * (a - 1) + p - 2 * q - (s - 1)
+                    if r in (0, 1):
+                        S[a, p, q, s] = 0.5
+    return S
+
+
+def pack_down_parity_conv(w):
+    """(3, 3, Cin, Cout) -> (4, 4, 4*Cin, 4*Cout) STRIDE-2 kernel with
+    padding ((1,1),(1,1)) over an s=2 parity-stacked input, such that the
+    conv emits ``space_to_depth(avg_pool_2x(conv3x3(x, w)))`` — i.e. the
+    D block's conv2+pool with the output STILL parity-stacked (at half
+    resolution), so the next parity block can consume it directly
+    (``accept_parity``) and the standard-layout half-res tensor never
+    materializes.
+
+    Why it wins over ``pack_down_conv``: that form emits standard layout
+    with N = Cout (a quarter-filled MXU lane tile at tower widths);
+    here N = 4*Cout fills the lanes while the pool stays folded —
+    2.25x less MXU-pass work at Cout = 32 (docs/PERF.md round 4).
+    """
+    import jax.numpy as jnp
+    cin, cout = w.shape[2], w.shape[3]
+    S = jnp.asarray(_pack_down_parity_matrix(), w.dtype)
+    packed = jnp.einsum("ypqs,xPQS,sSio->yxpPiqQo", S, S, w)
+    return packed.reshape(4, 4, 4 * cin, 4 * cout)
+
+
 def pack_point_conv(w):
     """(1, 1, Cin, Cout) -> (1, 1, 4*Cin, 4*Cout) block-diagonal weights:
     a 1x1 conv acts on each spatial position independently, so output

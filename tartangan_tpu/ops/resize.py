@@ -114,6 +114,31 @@ def downsample_bilinear_half_parity(xp, c, align_corners: bool = True):
     return jnp.einsum("jwq,bhwqc->bhjc", Aw, x6)
 
 
+def downsample_bilinear_half_parity_to_parity(xp, c, align_corners=True):
+    """Bilinear 0.5x from s=2 parity planes TO s=2 parity planes: given
+    the (B, H/2, W/2, 4C) parity form of a full-resolution tensor at
+    (H, W), return the (B, H/4, W/4, 4C) parity form of its bilinear
+    half-resolution downsample — neither full-resolution tensor ever
+    materializes. Both the row index i = 2n + q and the column index
+    k = 2m + p of the 1-D interpolation matrix regroup by parity, so the
+    contraction splits into per-(q, p) quarter-size matmuls (one einsum
+    per axis). Used by the parity D block's shortcut when it both
+    receives and emits parity layout (``accept_parity + emit_parity``)."""
+    b, h2, w2, _ = xp.shape
+    x6 = xp.reshape(b, h2, w2, 2, 2, c)
+    dtype = xp.dtype
+    # rows (n, q), cols (m, p): A[2n+q, 2m+p]
+    Ah = jnp.asarray(
+        _linear_interp_matrix(2 * h2, h2, align_corners), dtype
+    ).reshape(h2 // 2, 2, h2, 2)
+    Aw = jnp.asarray(
+        _linear_interp_matrix(2 * w2, w2, align_corners), dtype
+    ).reshape(w2 // 2, 2, w2, 2)
+    y = jnp.einsum("nqmp,bmwpxc->bnwqxc", Ah, x6)
+    y = jnp.einsum("jQwx,bnwqxc->bnjqQc", Aw, y)
+    return y.reshape(b, h2 // 2, w2 // 2, 4 * c)
+
+
 def avg_pool_2x(x):
     """2x2/stride-2 average pool on NHWC."""
     return jax.lax.reduce_window(

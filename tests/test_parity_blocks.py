@@ -90,6 +90,37 @@ def test_pack_down_conv_identity(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pack_down_parity_conv_identity(rng):
+    """s2d(avgpool2(conv3x3(x, w))) == stride-2 conv of s2d(x) with
+    pack_down_parity(w) — the parity-emitting D conv2 (round 4)."""
+    from tartangan_tpu.models.blocks import _conv_down2_pad1
+    from tartangan_tpu.ops.parity import pack_down_parity_conv
+    from tartangan_tpu.ops.resize import avg_pool_2x
+    x = jnp.asarray(rng.standard_normal((2, 16, 8, CIN)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, CIN, COUT)), jnp.float32)
+    ref = space_to_depth(avg_pool_2x(_conv(x, w)))
+    out = _conv_down2_pad1(space_to_depth(x), pack_down_parity_conv(w))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_downsample_bilinear_half_parity_to_parity(rng):
+    """Parity-to-parity bilinear 0.5x == s2d(bilinear 0.5x of the
+    restored full-res tensor) — the emit_parity D shortcut (round 4)."""
+    from tartangan_tpu.ops.resize import (
+        downsample_bilinear_half,
+        downsample_bilinear_half_parity_to_parity,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 16, 8, 5)), jnp.float32)
+    xp = space_to_depth(x)
+    for ac in (True, False):
+        ref = space_to_depth(downsample_bilinear_half(x, align_corners=ac))
+        out = downsample_bilinear_half_parity_to_parity(
+            xp, 5, align_corners=ac)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_folded_moments_match_full_res(rng):
     x = jnp.asarray(rng.standard_normal((3, 6, 6, COUT)), jnp.float32)
     xp = space_to_depth(x)
@@ -439,6 +470,39 @@ def test_discriminator_fuses_parity_input():
     bound = d.bind(v)
     assert isinstance(bound.input_block, ParityDiscriminatorInput)
     assert bound.blocks[0].accept_parity
+
+
+def test_discriminator_chains_parity_blocks():
+    """Consecutive parity D blocks hand off in parity layout: the
+    earlier block emits (pack_down_parity_conv) and the later accepts —
+    config '16' has exactly two parity blocks, one seam (round 4)."""
+    cfg, d = _build_discriminator(True)
+    x = jnp.zeros((2, cfg.max_size, cfg.max_size, 3), jnp.float32)
+    v = d.init(jax.random.PRNGKey(0), x, train=True)
+    bound = d.bind(v)
+    assert bound.blocks[0].emit_parity
+    assert bound.blocks[1].accept_parity
+    assert not bound.blocks[1].emit_parity  # last block emits standard
+
+
+def test_d_block_emit_parity_matches_flax(rng):
+    """An emit_parity parity D block == flax block after restoring the
+    layout, for both shortcut variants (projected and pre-stacked)."""
+    x = jnp.asarray(rng.standard_normal((B, 2 * H, 2 * H, CIN)), jnp.float32)
+    flax_block = ResidualDiscriminatorBlock(CIN, COUT)
+    fvars = flax_block.init(jax.random.PRNGKey(0), x, train=True)
+    ref, _ = flax_block.apply(fvars, x, train=True, mutable=["batch_stats"])
+    pblock = ParityResidualDiscriminatorBlock(CIN, COUT, emit_parity=True)
+    out, _ = pblock.apply(fvars, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(depth_to_space(out, COUT)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
+    # accept_parity + emit_parity (the mid-chain form)
+    pblock2 = ParityResidualDiscriminatorBlock(
+        CIN, COUT, accept_parity=True, emit_parity=True)
+    out2, _ = pblock2.apply(fvars, space_to_depth(x), train=True,
+                            mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(depth_to_space(out2, COUT)),
+                               np.asarray(ref), rtol=2e-5, atol=2e-5)
 
 
 def test_discriminator_parity_input_matches_flax(rng):
