@@ -17,6 +17,13 @@ N fill 128 lanes:
   small-offset conv with block-structured ``(3, 3, 4C, 4C')`` weights
   (block (p -> q) of offset o is w[1+d], d = 2o + p - q, present iff
   both components land in {-1,0,1}).
+- each output parity's window actually spans only TWO small offsets per
+  dim ({q-1, q}), so the ``*_conv2`` merged-tap forms express the same
+  convs with 2x2 kernels plus a per-parity output shift
+  (``conv_parity2``) — 2.25x fewer executed FLOPs (the 3x3 packings pad
+  the kernel with structural zeros the MXU still multiplies; round-4
+  measurement in docs/PERF.md). The 3x3 packings are kept as the
+  reference forms the tests pin the 2x2 forms against.
 - ``avg_pool_2x(conv3x3(x, w))`` == ``conv3x3(space_to_depth(x),
   pack_down(w))`` — the pool is a mean over output parities, folded into
   the weights, so the downsampling conv *emits* standard layout.
@@ -58,6 +65,86 @@ def pack_up_conv(w):
     out = jnp.zeros((3, 3, cin, 4 * cout), w.dtype)
     for (ky, kx), q, (sy, sx) in _pack_up_indices():
         out = out.at[ky, kx, :, q * cout:(q + 1) * cout].add(w[sy, sx])
+    return out
+
+
+def pack_up_conv2(w):
+    """(3, 3, Cin, Cout) -> (2, 2, Cin, 4*Cout) merged-tap sub-pixel
+    weights for ``conv_parity2``: the 3x3-over-up2 receptive field of an
+    output parity covers only a 2x2 window of small-resolution positions
+    (per dim, parity q reads offsets {q-1, q}), so a 2x2 kernel with a
+    per-parity output shift computes the same values with 16*C*C' MACs
+    per small position instead of ``pack_up_conv``'s 36 — a 2.25x
+    executed-FLOP cut at identical results (the padding taps that XLA
+    would multiply by structural zeros are simply not in the kernel).
+    Window slot a corresponds to source offset o = a - 1 + q."""
+    import jax.numpy as jnp
+    cin, cout = w.shape[2], w.shape[3]
+    out = jnp.zeros((2, 2, cin, 4 * cout), w.dtype)
+    for qy in range(2):
+        for qx in range(2):
+            q = 2 * qy + qx
+            for dy in range(-1, 2):
+                for dx in range(-1, 2):
+                    ay = ((qy + dy) >> 1) + 1 - qy
+                    ax = ((qx + dx) >> 1) + 1 - qx
+                    out = out.at[ay, ax, :, q * cout:(q + 1) * cout].add(
+                        w[dy + 1, dx + 1])
+    return out
+
+
+def pack_full_conv2(w):
+    """(3, 3, Cin, Cout) -> (2, 2, 4*Cin, 4*Cout) merged-tap form of
+    ``pack_full_conv`` for ``conv_parity2``: output parity q's 3x3
+    full-resolution window spans 2 small-resolution offsets per dim
+    ({q-1, q}), so the parity-domain conv needs only a 2x2 kernel plus a
+    per-parity output shift — 64*C*C' executed MACs per small position
+    (9/16 structurally nonzero) instead of the 3x3 form's 144 (1/4
+    nonzero). Valid slot: d = 2*a + p + q - 2 in {-1, 0, 1} per dim."""
+    import jax.numpy as jnp
+    cin, cout = w.shape[2], w.shape[3]
+    out = jnp.zeros((2, 2, 4 * cin, 4 * cout), w.dtype)
+    for qy in range(2):
+        for qx in range(2):
+            q = 2 * qy + qx
+            for py in range(2):
+                for px in range(2):
+                    p = 2 * py + px
+                    for ay in range(2):
+                        for ax in range(2):
+                            dy = 2 * ay + py + qy - 2
+                            dx = 2 * ax + px + qx - 2
+                            if abs(dy) > 1 or abs(dx) > 1:
+                                continue
+                            out = out.at[
+                                ay, ax, p * cin:(p + 1) * cin,
+                                q * cout:(q + 1) * cout].set(
+                                    w[dy + 1, dx + 1])
+    return out
+
+
+def conv_parity2(x, w2, cout, b=None):
+    """Apply a merged-tap 2x2 parity kernel (``pack_up_conv2`` /
+    ``pack_full_conv2``): one conv with padding ((1,1),(1,1)) produces a
+    (B, H+1, W+1, 4*Cout) tensor in which output parity q = 2*qy + qx
+    lives at spatial offset (qy, qx); the per-parity slices re-align it
+    to the standard (B, H, W, 4*Cout) parity stack. XLA fuses the slice+
+    concat into the consumer; the savings are in the conv itself."""
+    import jax
+    import jax.numpy as jnp
+    y = jax.lax.conv_general_dilated(
+        x, w2.astype(x.dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    h, w = x.shape[1], x.shape[2]
+    parts = []
+    for qy in range(2):
+        for qx in range(2):
+            q = 2 * qy + qx
+            parts.append(y[:, qy:h + qy, qx:w + qx,
+                           q * cout:(q + 1) * cout])
+    out = jnp.concatenate(parts, axis=-1)
+    if b is not None:
+        out = out + b.astype(x.dtype)
     return out
 
 

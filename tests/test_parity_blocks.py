@@ -79,6 +79,60 @@ def test_pack_full_conv_identity(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pack_up_conv2_identity(rng):
+    """Merged-tap 2x2 form == the 3x3 sub-pixel packing (the
+    structural-zero taps the 2x2 kernel drops contribute nothing;
+    summation order differs, so fp round-off tolerance)."""
+    from tartangan_tpu.ops.parity import conv_parity2, pack_up_conv2
+    h = jnp.asarray(rng.standard_normal((2, 7, 9, CIN)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, CIN, COUT)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((COUT,)), jnp.float32)
+    ref = _conv(h, pack_up_conv(w)) + jnp.tile(b, 4)
+    out = conv_parity2(h, pack_up_conv2(w), COUT, jnp.tile(b, 4))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_pack_full_conv2_identity(rng):
+    """Merged-tap 2x2 form == the 3x3 parity-plane packing."""
+    from tartangan_tpu.ops.parity import conv_parity2, pack_full_conv2
+    x = jnp.asarray(rng.standard_normal((2, 12, 8, CIN)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, CIN, COUT)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((COUT,)), jnp.float32)
+    xp = space_to_depth(x)
+    ref = _conv(xp, pack_full_conv(w)) + jnp.tile(b, 4)
+    out = conv_parity2(xp, pack_full_conv2(w), COUT, jnp.tile(b, 4))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_pack_conv2_grads_match(rng):
+    """d/dw and d/dx of the 2x2 forms == the 3x3 forms (the parity
+    blocks differentiate through the packing under jit and R1)."""
+    from tartangan_tpu.ops.parity import (
+        conv_parity2,
+        pack_full_conv2,
+        pack_up_conv2,
+    )
+    x = jnp.asarray(rng.standard_normal((2, 6, 6, CIN)), jnp.float32)
+    xp = space_to_depth(jnp.asarray(
+        rng.standard_normal((2, 12, 12, CIN)), jnp.float32))
+    w = jnp.asarray(rng.standard_normal((3, 3, CIN, COUT)), jnp.float32)
+
+    for inp, pack3, pack2 in (
+            (x, pack_up_conv, pack_up_conv2),
+            (xp, pack_full_conv, pack_full_conv2)):
+        f3 = jax.jit(lambda a, k, p3=pack3: jnp.sum(
+            jnp.cos(_conv(a, p3(k)))))
+        f2 = jax.jit(lambda a, k, p2=pack2: jnp.sum(
+            jnp.cos(conv_parity2(a, p2(k), COUT))))
+        g3 = jax.grad(f3, argnums=(0, 1))(inp, w)
+        g2 = jax.grad(f2, argnums=(0, 1))(inp, w)
+        for a, b_ in zip(g3, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                       rtol=1e-4, atol=2e-4)
+
+
 def test_pack_down_conv_identity(rng):
     """avgpool2(conv3x3(x, w)) == conv3x3(s2d(x), pack_down(w))."""
     from tartangan_tpu.ops.resize import avg_pool_2x
