@@ -31,21 +31,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from bench import enter_honest_mode  # noqa: E402
 
 
-def conv_slope_ms(h, w, cin, cout, batch=128, reps=3):
-    """ms per bare 3x3 SAME conv at (batch, h, w, cin)->cout, slope-timed."""
+def conv_slope_ms(h, w, cin, cout, batch=128, reps=3, ksize=3):
+    """ms per bare conv at (batch, h, w, cin)->cout, slope-timed.
+
+    ``ksize=3``: 3x3 SAME (the flax and 3x3-packed parity forms).
+    ``ksize=2``: 2x2 with padding ((1,1),(1,1)) -> (h+1, w+1) output — the
+    merged-tap parity form ``ops/parity.py::conv_parity2`` executes
+    (round 4); the slice+concat realignment is excluded here on purpose
+    (this is the bare-conv ceiling, the step pays it in fused form)."""
     import jax
     import jax.numpy as jnp
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((batch, h, w, cin)), jnp.bfloat16)
-    wts = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.02,
-                      jnp.bfloat16)
+    wts = jnp.asarray(
+        rng.standard_normal((ksize, ksize, cin, cout)) * 0.02, jnp.bfloat16)
     # square-ish channels so the iterate can feed back: project out->in
     proj = jnp.asarray(rng.standard_normal((cout, cin)) * 0.02, jnp.bfloat16)
+    pad = "SAME" if ksize == 3 else ((1, 1), (1, 1))
+    hout, wout = (h, w) if ksize == 3 else (h + 1, w + 1)
 
     def one(a):
         y = jax.lax.conv_general_dilated(
-            a, wts, (1, 1), "SAME",
+            a, wts, (1, 1), pad,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=jnp.float32)
         return y.astype(jnp.bfloat16)
@@ -53,6 +61,8 @@ def conv_slope_ms(h, w, cin, cout, batch=128, reps=3):
     def chain(a, k):
         def body(x, _):
             y = one(x)
+            if ksize == 2:  # realign to (h, w) so the loop can feed back
+                y = y[:, :h, :w, :]
             # cheap cout->cin feedback keeps the loop serial & live
             x2 = jnp.einsum("bhwc,cd->bhwd", y, proj)
             return x2.astype(jnp.bfloat16), ()
@@ -73,7 +83,7 @@ def conv_slope_ms(h, w, cin, cout, batch=128, reps=3):
             ts.append(time.perf_counter() - t0)
         return min(ts)
 
-    flops = 2 * batch * h * w * 9 * cin * cout
+    flops = 2 * batch * hout * wout * ksize * ksize * cin * cout
     # feedback projection adds 2*B*H*W*cout*cin — subtract it from the
     # quotient? No: keep it IN the denominator work estimate (it is real
     # MXU work in the loop) so the conv's own rate is a floor, then
@@ -108,19 +118,31 @@ SHAPES = [
     ("d_blk2_parity_full_32px_128to256", 32, 32, 128, 256),
 ]
 
+# merged-tap 2x2 forms (round 4): same logical convs as the parity rows
+# above but with the structural-zero taps dropped — 2.25x fewer executed
+# FLOPs per conv (ops/parity.py::pack_up_conv2 / pack_full_conv2).
+SHAPES_2X2 = [
+    ("g_blk4_parity2_up_32px_64to128", 32, 32, 64, 128),
+    ("g_blk4_parity2_full_32px_128to128", 32, 32, 128, 128),
+    ("g_blk5_parity2_up_64px_32to64", 64, 64, 32, 64),
+    ("g_blk5_parity2_full_64px_64to64", 64, 64, 64, 64),
+    ("d_blk2_parity2_full_32px_128to256", 32, 32, 128, 256),
+]
+
 
 def main():
     enter_honest_mode()
     results = {}
     print("shape, ms/conv, executed TFLOP/s (incl feedback)", flush=True)
-    for tag, h, w, cin, cout in SHAPES:
-        ms, flops, fb = conv_slope_ms(h, w, cin, cout)
-        tf = (flops + fb) / (ms / 1e3) / 1e12
-        tf_conv = flops / (ms / 1e3) / 1e12
-        results[tag] = {"ms": round(ms, 4), "tflops": round(tf, 1),
-                        "tflops_conv_only": round(tf_conv, 1)}
-        print(f"  {tag}: {ms:.4f} ms, {tf:.1f} TFLOP/s "
-              f"({tf_conv:.1f} conv-only)", flush=True)
+    for ksize, shapes in ((3, SHAPES), (2, SHAPES_2X2)):
+        for tag, h, w, cin, cout in shapes:
+            ms, flops, fb = conv_slope_ms(h, w, cin, cout, ksize=ksize)
+            tf = (flops + fb) / (ms / 1e3) / 1e12
+            tf_conv = flops / (ms / 1e3) / 1e12
+            results[tag] = {"ms": round(ms, 4), "tflops": round(tf, 1),
+                            "tflops_conv_only": round(tf_conv, 1)}
+            print(f"  {tag}: {ms:.4f} ms, {tf:.1f} TFLOP/s "
+                  f"({tf_conv:.1f} conv-only)", flush=True)
     print(json.dumps(results, indent=1))
 
 

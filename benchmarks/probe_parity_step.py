@@ -45,11 +45,14 @@ def main():
     results["launch_floor_ms"] = round(floor, 1)
     print("floor", results["launch_floor_ms"], flush=True)
 
-    for name, (gpar, dpar) in {
-        "baseline": (False, False),
-        "parity_g": (True, False),
-        "parity_gd": (True, True),
+    from tartangan_tpu.ops import parity as P
+
+    for name, (gpar, dpar, merged) in {
+        "baseline": (False, False, True),
+        "parity_gd_3x3": (True, True, False),
+        "parity_gd_2x2": (True, True, True),
     }.items():
+        P.MERGED_TAP = merged
         g = Generator(cfg, input_factory=F.g_input_factory("mlp", "relu"),
                       block_factory=F.g_block_factory("bn", "relu",
                                                       parity=gpar),

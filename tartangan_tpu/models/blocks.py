@@ -331,15 +331,37 @@ def _conv_down2_pad1(x, w, b=None):
     return y
 
 
+def _parity_up_conv(h, w1, b1, cout):
+    """G parity block conv1 (= conv3x3 over nearest-up2), honoring
+    ``ops.parity.MERGED_TAP`` (2x2 merged-tap vs 3x3 packed form)."""
+    from ..ops import parity as P
+    if P.MERGED_TAP:
+        return P.conv_parity2(h, P.pack_up_conv2(w1), cout,
+                              jnp.tile(b1, 4))
+    return _conv_same(h, P.pack_up_conv(w1), jnp.tile(b1, 4))
+
+
+def _parity_full_conv(h, w, b, cout):
+    """Full-resolution conv3x3 over a parity stack, honoring
+    ``ops.parity.MERGED_TAP``."""
+    from ..ops import parity as P
+    if P.MERGED_TAP:
+        return P.conv_parity2(h, P.pack_full_conv2(w), cout,
+                              jnp.tile(b, 4))
+    return _conv_same(h, P.pack_full_conv(w), jnp.tile(b, 4))
+
+
 class ParityResidualGeneratorBlock(nn.Module):
     """``ResidualGeneratorBlock`` computed in the parity (sub-pixel)
     domain — identical math (reference generator.py:32-62), rewritten so
     every conv fills the MXU's 128-lane tiles at tower widths:
-    ``conv1(up2(h))`` becomes a small-resolution 2x2 conv with 4x the
-    output channels (ops/parity.py::pack_up_conv2 — merged-tap form,
-    2.25x fewer executed FLOPs than the 3x3 packing), conv2 stays
-    channel-stacked (pack_full_conv2, same 2.25x cut), and one
-    depth-to-space at the block boundary restores standard layout. Pure jnp/lax — XLA differentiates
+    ``conv1(up2(h))`` becomes a small-resolution conv with 4x the
+    output channels (ops/parity.py::pack_up_conv; the upsampled
+    intermediate never exists), conv2 runs channel-stacked
+    (pack_full_conv), and one depth-to-space at the block boundary
+    restores standard layout. Both convs honor ``ops.parity.MERGED_TAP``
+    (a measured-slower 2x2 alternative, off by default — see
+    ops/parity.py). Pure jnp/lax — XLA differentiates
     through it (R1-safe), unlike the Pallas custom-VJP transcription
     (ops/pallas/gblock.py), which measures slower (per-grid-program
     overhead; docs/PERF.md round 3).
@@ -367,12 +389,7 @@ class ParityResidualGeneratorBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        from ..ops.parity import (
-            conv_parity2,
-            depth_to_space,
-            pack_full_conv2,
-            pack_up_conv2,
-        )
+        from ..ops.parity import depth_to_space
         assert (self.upsample and not self.first_block
                 and self.ndim == 2), "parity G block: unsupported shape"
         cin, cout = self.in_dims, self.out_dims
@@ -381,12 +398,12 @@ class ParityResidualGeneratorBlock(nn.Module):
         h = NormAct(self.norm, self.activation, self.dtype,
                     name="NormAct_0")(x, train)
         w1, b1 = _ConvParams((3, 3, cin, cout), 9 * cin, name="Conv_0")()
-        y1p = conv_parity2(h, pack_up_conv2(w1), cout, jnp.tile(b1, 4))
+        y1p = _parity_up_conv(h, w1, b1, cout)
         h2 = _ParityNormAct(cout, self.norm, self.activation, self.dtype,
                             name="NormAct_1")(y1p, train)
         h2 = h2.astype(self.dtype)
         w2, b2 = _ConvParams((3, 3, cout, cout), 9 * cout, name="Conv_1")()
-        y2p = conv_parity2(h2, pack_full_conv2(w2), cout, jnp.tile(b2, 4))
+        y2p = _parity_full_conv(h2, w2, b2, cout)
         if cin != cout:
             wp, bp = _ConvParams((1, 1, cin, cout), cin,
                                  name="project_input")()
@@ -405,7 +422,7 @@ class ParityResidualDiscriminatorBlock(nn.Module):
     """``ResidualDiscriminatorBlock`` in the space-to-depth domain
     (reference discriminator.py:49-95): both full-resolution convs run
     over channel-stacked parity planes (4x the contraction lanes; conv1
-    in the merged-tap 2x2 form, pack_full_conv2), and
+    via pack_full_conv, honoring ``ops.parity.MERGED_TAP``), and
     the trailing avg-pool is folded into conv2's weights
     (ops/parity.py::pack_down_conv) so the block emits half resolution
     in standard layout directly. Pure jnp/lax, so the R1 second-order
@@ -442,12 +459,7 @@ class ParityResidualDiscriminatorBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = True):
-        from ..ops.parity import (
-            conv_parity2,
-            pack_down_conv,
-            pack_full_conv2,
-            space_to_depth,
-        )
+        from ..ops.parity import pack_down_conv, space_to_depth
         assert self.ndim == 2, "parity D block: 2-D only"
         cin, cout = self.in_dims, self.out_dims
         h = x
@@ -461,7 +473,7 @@ class ParityResidualDiscriminatorBlock(nn.Module):
                             name="NormAct_0")(h, train)
         hp = h if self.accept_parity else space_to_depth(h)
         w1, b1 = _ConvParams((3, 3, cin, cout), 9 * cin, name="Conv_0")()
-        y1p = conv_parity2(hp, pack_full_conv2(w1), cout, jnp.tile(b1, 4))
+        y1p = _parity_full_conv(hp, w1, b1, cout)
         h2 = _ParityNormAct(cout, self.norm, self.activation, self.dtype,
                             name="NormAct_0" if self.first_block
                             else "NormAct_1")(y1p, train)

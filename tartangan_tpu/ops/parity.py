@@ -20,10 +20,12 @@ N fill 128 lanes:
 - each output parity's window actually spans only TWO small offsets per
   dim ({q-1, q}), so the ``*_conv2`` merged-tap forms express the same
   convs with 2x2 kernels plus a per-parity output shift
-  (``conv_parity2``) — 2.25x fewer executed FLOPs (the 3x3 packings pad
-  the kernel with structural zeros the MXU still multiplies; round-4
-  measurement in docs/PERF.md). The 3x3 packings are kept as the
-  reference forms the tests pin the 2x2 forms against.
+  (``conv_parity2``) — 2.25x fewer executed FLOPs than the 3x3 packings
+  (whose structural-zero taps the MXU still multiplies). Measured on
+  hardware this is a NEGATIVE result: the realignment copy costs more
+  than the dead taps (see ``MERGED_TAP`` below), so the 3x3 packed
+  forms are the default and the 2x2 forms are kept as the pinned
+  alternative formulation.
 - ``avg_pool_2x(conv3x3(x, w))`` == ``conv3x3(space_to_depth(x),
   pack_down(w))`` — the pool is a mean over output parities, folded into
   the weights, so the downsampling conv *emits* standard layout.
@@ -40,6 +42,20 @@ blocks/generator.py:32-62, blocks/discriminator.py:49-95).
 from __future__ import annotations
 
 import numpy as np
+
+# Trace-time switch between the 3x3 packed forms (structural zeros, no
+# realignment — the default) and the merged-tap 2x2 forms (conv_parity2
+# with per-parity realignment slices). The 2x2 forms execute 2.25x fewer
+# MACs but pay an (H+1, W+1) overproduced conv output plus a
+# slice/concat realignment per conv that XLA materializes (+16 GB of
+# booked bytes on the '128' step). Same-session A/B on hardware
+# (benchmarks/probe_parity_step.py, 2026-08-18): 3x3 packed 27.6
+# ms/step vs merged-tap 35.3 vs flax 37.9 — the merged-tap form LOSES
+# 28%; on this chip the parity convs are MXU-pass/occupancy-bound, not
+# FLOP-bound, so removing structurally-zero taps saves nothing while
+# the realignment copy costs plenty. Kept as a measured negative result;
+# both forms produce bit-identical block outputs (tests pin it).
+MERGED_TAP = False
 
 
 def _pack_up_indices():
