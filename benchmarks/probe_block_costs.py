@@ -38,6 +38,9 @@ def slope_ms(fn, arg, k_lo=8):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--fwd-only", action="store_true")
+    p.add_argument("--config", default="128", choices=("128", "256"),
+                   help="which config's tower shapes to decompose "
+                        "('256' uses the bench's b64)")
     args = p.parse_args()
 
     enter_honest_mode()
@@ -52,7 +55,7 @@ def main():
         ResidualGeneratorBlock,
     )
 
-    b = 128
+    b = 128 if args.config == "128" else 64
     dtype = jnp.bfloat16
     rng = np.random.default_rng(0)
     results = {}
@@ -87,9 +90,18 @@ def main():
         results[key + "_fwdbwd_ms"] = round(slope_ms(fwdbwd, x), 3)
         print(key + "_fwdbwd", results[key + "_fwdbwd_ms"], flush=True)
 
-    # G tower blocks of config '128': (in, out, in_res)
-    g_blocks = [(128, 128, 4), (128, 128, 8), (128, 64, 16),
-                (64, 32, 32), (32, 16, 64)]
+    # G tower blocks: (in, out, in_res)
+    if args.config == "128":
+        g_blocks = [(128, 128, 4), (128, 128, 8), (128, 64, 16),
+                    (64, 32, 32), (32, 16, 64)]
+        d_blocks = [(16, 32, 128), (32, 64, 64), (64, 128, 32)]
+        floor_res = 128
+    else:  # '256': blocks (256, 256, 128, 64, 32, 16), base 4
+        g_blocks = [(256, 256, 4), (256, 256, 8), (256, 128, 16),
+                    (128, 64, 32), (64, 32, 64), (32, 16, 128)]
+        d_blocks = [(16, 32, 256), (32, 64, 128), (64, 128, 64),
+                    (128, 256, 32), (256, 256, 16), (256, 256, 8)]
+        floor_res = 256
     for cin, cout, res in g_blocks:
         for tag, cls in (("flax", ResidualGeneratorBlock),
                          ("parity", ParityResidualGeneratorBlock)):
@@ -98,7 +110,6 @@ def main():
             measure(cls, tag, "g", cin, cout, res)
 
     # D tower blocks (reverse): (in, out, in_res)
-    d_blocks = [(16, 32, 128), (32, 64, 64), (64, 128, 32)]
     for cin, cout, res in d_blocks:
         for tag, cls in (("flax", ResidualDiscriminatorBlock),
                          ("parity", ParityResidualDiscriminatorBlock)):
@@ -107,7 +118,8 @@ def main():
             measure(cls, tag, "d", cin, cout, res)
 
     # elementwise floors at the hot tensor size
-    x16 = jnp.asarray(rng.standard_normal((b, 128, 128, 16)), dtype)
+    x16 = jnp.asarray(rng.standard_normal((b, floor_res, floor_res, 16)),
+                      dtype)
 
     def bn_act(x):
         x32 = x.astype(jnp.float32)
@@ -116,8 +128,8 @@ def main():
         h = (x32 - m) * jax.lax.rsqrt(v + 1e-5)
         return jnp.where(h >= 0, h, 0.2 * h).astype(x.dtype)
 
-    results["bn_act_128px16c_ms"] = round(slope_ms(bn_act, x16), 3)
-    u8 = jax.device_put(rng.integers(0, 256, (b, 128, 128, 3),
+    results[f"bn_act_{floor_res}px16c_ms"] = round(slope_ms(bn_act, x16), 3)
+    u8 = jax.device_put(rng.integers(0, 256, (b, floor_res, floor_res, 3),
                                      dtype=np.uint8))
     results["normalize_u8_ms"] = round(
         slope_ms(lambda a: (a.astype(jnp.float32) / 127.5 - 1.0).astype(

@@ -89,7 +89,12 @@ def conv_slope_ms(h, w, cin, cout, batch=128, reps=3, ksize=3):
     # MXU work in the loop) so the conv's own rate is a floor, then
     # report it separately.
     fb_flops = 2 * batch * h * w * cout * cin
-    dk = max(16, int(np.ceil(2.5e12 / (flops + fb_flops))))
+    # target >=2e13 FLOP of k-delta work: at the ~50-190 TFLOP/s these
+    # shapes run, that's a 100-400 ms timing delta, an order of magnitude
+    # above the relay's ~±10 ms fixed-cost jitter. The earlier 2.5e12
+    # target let fast rows read 300-490 TFLOP/s — above the measured
+    # 190 dense peak, i.e. pure jitter.
+    dk = max(16, int(np.ceil(2.0e13 / (flops + fb_flops))))
     k_lo = 8
     t_lo, t_hi = timed(k_lo), timed(k_lo + dk)
     per_iter_ms = (t_hi - t_lo) * 1e3 / dk
