@@ -49,11 +49,16 @@ def enter_honest_mode():
 
 def measure_step(config="128", batch_size=128, steps=50, warmup=5,
                  repeats=3, tp=0, steps_per_call=1, workload="cnn",
-                 remat=False, r1_interval=1):
+                 remat=False, r1_interval=1, with_flops=False):
     """Time the fused train step (device-bound ceiling).
 
     Returns a list of ``repeats`` img/s values from consecutive timing
     windows over one compiled step (compile cost excluded by warmup).
+    ``with_flops=True`` returns ``(values, flops_per_step)`` instead,
+    where the FLOPs come from XLA's own cost model on the UNCHUNKED step
+    (``jit(step).lower(...).compile().cost_analysis()`` — executed FLOPs,
+    the same counter benchmarks/probe_mfu.py publishes), so the driver
+    artifact can carry MFU per workload (VERDICT r4 next #7).
     ``workload`` selects the trainer family: "cnn" (SA-GAN BCE+R1,
     reference trainers/cnn.py) or "iqn" (quantile discriminator,
     reference trainers/iqn.py) — the two BASELINE.md benchmark configs.
@@ -141,6 +146,31 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
         latent_dims=cfg.latent_dims, grad_penalty=5.0,
         ema_factor=1e-3, dtype=dtype, **step_kw,
     )
+    flops = None
+    if with_flops:
+        # cost model of ONE un-chunked step; lowering does not execute.
+        # Tolerant: a cost_analysis failure must not kill the bench row.
+        try:
+            img0b = jnp.zeros(
+                (batch_size, cfg.max_size, cfg.max_size, 3), jnp.uint8)
+
+            def one_step_flops(fn):
+                compiled = jax.jit(fn).lower(
+                    state, img0b, jax.random.PRNGKey(0)).compile()
+                ca = compiled.cost_analysis()
+                if isinstance(ca, (list, tuple)):  # older jax: [dict]
+                    ca = ca[0]
+                return float(ca.get("flops", float("nan")))
+
+            flops = one_step_flops(base_step)
+            no_r1 = getattr(base_step, "no_r1", None)
+            if r1_interval > 1 and no_r1 is not None:
+                # lazy R1 executes the full step 1/N of the time — the
+                # honest per-step FLOPs are the cadence-weighted average
+                flops = (flops + (r1_interval - 1)
+                         * one_step_flops(no_r1)) / r1_interval
+        except Exception:  # noqa: BLE001 — diagnostic only
+            flops = None
     if steps_per_call > 1:
         from tartangan_tpu.train.multi import chunk_train_step
         base_step = chunk_train_step(
@@ -181,7 +211,33 @@ def measure_step(config="128", batch_size=128, steps=50, warmup=5,
         float(np.ravel(np.asarray(metrics["g_loss"]))[-1])
         dt = time.perf_counter() - t0
         values.append(batch_size * steps_per_call * dispatches / dt)
+    if with_flops:
+        return values, flops
     return values
+
+
+# measured dense bf16 matmul peak of this chip (docs/PERF.md round-4
+# revision: 180-191 TFLOP/s at 4096^3..16384^3, ~91-96% of the v5e
+# spec-sheet 197) — the denominator for every MFU figure we publish
+MEASURED_PEAK_FLOPS = 190e12
+
+
+def _mfu_fields(flops, img_s, batch_size, steps_per_call):
+    """flops/step + ms/step + MFU columns for a bench row.
+
+    ms/step here is the *production-rate* period (batch / img/s over the
+    chunked program), so it still carries the amortized ~60-67/K ms relay
+    fence share — this MFU is a slight floor on probe_mfu.py's slope-method
+    figure, and that is the honest choice for a driver artifact: it rates
+    what a user actually gets, not the silicon-only ceiling."""
+    if not flops or not img_s:
+        return {}
+    ms = batch_size / img_s * 1000.0
+    fields = {"flops_per_step": flops, "ms_per_step": round(ms, 2)}
+    import jax
+    if jax.default_backend() == "tpu":
+        fields["mfu"] = round(flops / (ms / 1e3) / MEASURED_PEAK_FLOPS, 4)
+    return fields
 
 
 _ARCHIVE_CACHE: dict = {}
@@ -402,15 +458,16 @@ def main():
             extra["steps_per_call"] = k
     else:
         steps = max(args.steps, 8 * k)
-        values = measure_step(args.config, args.batch_size, steps,
-                              repeats=max(args.repeats, 1), tp=args.tp,
-                              steps_per_call=k)
+        values, flops = measure_step(args.config, args.batch_size, steps,
+                                     repeats=max(args.repeats, 1), tp=args.tp,
+                                     steps_per_call=k, with_flops=True)
         value = statistics.median(values)
         metric = f"images_per_sec_{args.config}px_sagan_train"
         if args.tp:
             metric += f"_tp{args.tp}"
         extra = {"min": round(min(values), 2), "max": round(max(values), 2),
-                 "runs": len(values), "steps_per_call": k}
+                 "runs": len(values), "steps_per_call": k,
+                 **_mfu_fields(flops, value, args.batch_size, k)}
         if k > 1:
             # continuity with rounds measured before scan chunking
             singles = measure_step(args.config, args.batch_size, args.steps,
@@ -468,13 +525,18 @@ def main():
                       r1_interval=16, steps_per_call=16)),
             ):
                 try:
-                    vals = measure_step(steps=32, warmup=2,
-                                        repeats=max(args.repeats, 1),
-                                        **{"steps_per_call": 8, **kw})
+                    vals, flops = measure_step(steps=32, warmup=2,
+                                               repeats=max(args.repeats, 1),
+                                               with_flops=True,
+                                               **{"steps_per_call": 8, **kw})
+                    med = statistics.median(vals)
                     rows[name] = {
-                        "img_s": round(statistics.median(vals), 2),
+                        "img_s": round(med, 2),
                         "min": round(min(vals), 2),
                         "max": round(max(vals), 2),
+                        **_mfu_fields(flops, med,
+                                      kw.get("batch_size", 128),
+                                      kw.get("steps_per_call", 8)),
                     }
                 except Exception as e:  # noqa: BLE001 — driver artifact
                     rows[name] = {
