@@ -48,6 +48,17 @@ from .layers import Conv, Dense, NormAct, activation_fn
 Dtype = Any
 
 
+def _ckpt(y):
+    """Tag a main-path conv output for ``--remat-policy convs``: under
+    ``jax.checkpoint_policies.save_only_these_names('block_conv')`` the
+    tagged tensors are saved for the backward pass and only the cheap
+    norm/act/resample chains between them are recomputed — a middle point
+    between full remat (recompute everything, incl. the convs) and no
+    remat. A no-op (stripped by XLA) when no remat policy references it."""
+    from jax.ad_checkpoint import checkpoint_name
+    return checkpoint_name(y, "block_conv")
+
+
 def _upsample(x, ndim):
     return upsample_nearest_2x(x) if ndim == 2 else upsample_nearest_2x_1d(x)
 
@@ -125,11 +136,11 @@ class ResidualGeneratorBlock(nn.Module):
             h = x
             if not self.first_block:
                 h = NormAct(self.norm, self.activation, self.dtype)(h, train)
-        h = Conv(self.out_dims, 3, in_features=self.in_dims,
-                 dtype=self.dtype, ndim=self.ndim)(h)
+        h = _ckpt(Conv(self.out_dims, 3, in_features=self.in_dims,
+                       dtype=self.dtype, ndim=self.ndim)(h))
         h = NormAct(self.norm, self.activation, self.dtype)(h, train)
-        h = Conv(self.out_dims, 3, in_features=self.out_dims,
-                 dtype=self.dtype, ndim=self.ndim)(h)
+        h = _ckpt(Conv(self.out_dims, 3, in_features=self.out_dims,
+                       dtype=self.dtype, ndim=self.ndim)(h))
         if self.in_dims != self.out_dims:
             x = Conv(self.out_dims, 1, in_features=self.in_dims,
                      dtype=self.dtype, ndim=self.ndim,
@@ -331,20 +342,31 @@ def _conv_down2_pad1(x, w, b=None):
     return y
 
 
-def _parity_up_conv(h, w1, b1, cout):
+def _parity_up_conv(h, w1, b1, cout, fused=False):
     """G parity block conv1 (= conv3x3 over nearest-up2), honoring
-    ``ops.parity.MERGED_TAP`` (2x2 merged-tap vs 3x3 packed form)."""
+    ``ops.parity.MERGED_TAP`` (2x2 merged-tap vs 3x3 packed form).
+    ``fused=True`` (G blocks under ``ops.parity.FUSED_G``) routes to the
+    Pallas merged-tap kernel with in-kernel realignment."""
     from ..ops import parity as P
+    if fused:
+        from ..ops.pallas.parity_conv import available, fused_parity_conv
+        if available():
+            return fused_parity_conv(h, w1, b1, cout, "up")
     if P.MERGED_TAP:
         return P.conv_parity2(h, P.pack_up_conv2(w1), cout,
                               jnp.tile(b1, 4))
     return _conv_same(h, P.pack_up_conv(w1), jnp.tile(b1, 4))
 
 
-def _parity_full_conv(h, w, b, cout):
+def _parity_full_conv(h, w, b, cout, fused=False):
     """Full-resolution conv3x3 over a parity stack, honoring
-    ``ops.parity.MERGED_TAP``."""
+    ``ops.parity.MERGED_TAP`` and the G-side fused kernel (see
+    ``_parity_up_conv``)."""
     from ..ops import parity as P
+    if fused:
+        from ..ops.pallas.parity_conv import available, fused_parity_conv
+        if available():
+            return fused_parity_conv(h, w, b, cout, "full")
     if P.MERGED_TAP:
         return P.conv_parity2(h, P.pack_full_conv2(w), cout,
                               jnp.tile(b, 4))
@@ -397,13 +419,14 @@ class ParityResidualGeneratorBlock(nn.Module):
         # reorder note); here the upsample itself is folded into conv1
         h = NormAct(self.norm, self.activation, self.dtype,
                     name="NormAct_0")(x, train)
+        from ..ops import parity as P
         w1, b1 = _ConvParams((3, 3, cin, cout), 9 * cin, name="Conv_0")()
-        y1p = _parity_up_conv(h, w1, b1, cout)
+        y1p = _ckpt(_parity_up_conv(h, w1, b1, cout, fused=P.FUSED_G))
         h2 = _ParityNormAct(cout, self.norm, self.activation, self.dtype,
                             name="NormAct_1")(y1p, train)
         h2 = h2.astype(self.dtype)
         w2, b2 = _ConvParams((3, 3, cout, cout), 9 * cout, name="Conv_1")()
-        y2p = _parity_full_conv(h2, w2, b2, cout)
+        y2p = _ckpt(_parity_full_conv(h2, w2, b2, cout, fused=P.FUSED_G))
         if cin != cout:
             wp, bp = _ConvParams((1, 1, cin, cout), cin,
                                  name="project_input")()
@@ -473,7 +496,7 @@ class ParityResidualDiscriminatorBlock(nn.Module):
                             name="NormAct_0")(h, train)
         hp = h if self.accept_parity else space_to_depth(h)
         w1, b1 = _ConvParams((3, 3, cin, cout), 9 * cin, name="Conv_0")()
-        y1p = _parity_full_conv(hp, w1, b1, cout)
+        y1p = _ckpt(_parity_full_conv(hp, w1, b1, cout))
         h2 = _ParityNormAct(cout, self.norm, self.activation, self.dtype,
                             name="NormAct_0" if self.first_block
                             else "NormAct_1")(y1p, train)
@@ -482,8 +505,8 @@ class ParityResidualDiscriminatorBlock(nn.Module):
         if self.emit_parity:
             from ..ops.parity import pack_down_parity_conv, pack_point_conv
             # conv2+pool emitting s=2 parity of the half resolution
-            y2 = _conv_down2_pad1(h2, pack_down_parity_conv(w2),
-                                  jnp.tile(b2, 4))
+            y2 = _ckpt(_conv_down2_pad1(h2, pack_down_parity_conv(w2),
+                                        jnp.tile(b2, 4)))
             if self.accept_parity:
                 from ..ops.resize import (
                     downsample_bilinear_half_parity_to_parity,
@@ -498,7 +521,7 @@ class ParityResidualDiscriminatorBlock(nn.Module):
                 x_sc = _conv_same(x_sc, pack_point_conv(wp),
                                   jnp.tile(bp, 4))
             return x_sc + y2
-        y2 = _conv_same(h2, pack_down_conv(w2), b2)  # half res, standard
+        y2 = _ckpt(_conv_same(h2, pack_down_conv(w2), b2))  # half res, std
         if self.accept_parity:
             from ..ops.resize import downsample_bilinear_half_parity
             x_sc = downsample_bilinear_half_parity(x, cin,
@@ -711,11 +734,11 @@ class ResidualDiscriminatorBlock(nn.Module):
         h = x
         if not self.first_block:
             h = NormAct(self.norm, self.activation, self.dtype)(h, train)
-        h = Conv(self.out_dims, 3, in_features=self.in_dims,
-                 dtype=self.dtype, ndim=self.ndim)(h)
+        h = _ckpt(Conv(self.out_dims, 3, in_features=self.in_dims,
+                       dtype=self.dtype, ndim=self.ndim)(h))
         h = NormAct(self.norm, self.activation, self.dtype)(h, train)
-        h = Conv(self.out_dims, 3, in_features=self.out_dims,
-                 dtype=self.dtype, ndim=self.ndim)(h)
+        h = _ckpt(Conv(self.out_dims, 3, in_features=self.out_dims,
+                       dtype=self.dtype, ndim=self.ndim)(h))
         h = _avg_pool(h, self.ndim)
         x = _shortcut_down(x, self.ndim)
         if self.in_dims != self.out_dims:

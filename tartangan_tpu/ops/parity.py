@@ -57,6 +57,16 @@ import numpy as np
 # both forms produce bit-identical block outputs (tests pin it).
 MERGED_TAP = False
 
+# Trace-time switch for the GENERATOR-side fused merged-tap Pallas
+# kernel (ops/pallas/parity_conv.py): the 2x2 contraction AND the
+# per-parity realignment execute in one VMEM pass, removing the HBM
+# copies that made the XLA merged-tap form lose. G blocks only — its
+# custom_vjp cannot sit under the R1 second-order gradient that D needs
+# (the backward is the XLA VJP of the 3x3-packed form, so gradients are
+# identical to the default path). Flipped by --fused-g-convs / the A/B
+# probe (benchmarks/probe_parity_step.py).
+FUSED_G = False
+
 
 def _pack_up_indices():
     """(tap (oy, ox), parity q, source tap (dy, dx)) triples for the
