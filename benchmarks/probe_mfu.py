@@ -36,7 +36,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_step(config, batch_size, workload="cnn", parity="auto",
-               remat=False):
+               remat=False, remat_policy="full"):
     """One fused train step + example args (mirrors bench.measure_step)."""
     import jax
     import jax.numpy as jnp
@@ -58,8 +58,9 @@ def build_step(config, batch_size, workload="cnn", parity="auto",
     g = Generator(
         cfg,
         input_factory=F.g_input_factory("mlp", "relu"),
-        block_factory=F.g_block_factory("bn", "relu", parity=par,
-                                        remat=remat),
+        block_factory=F.g_block_factory(
+            "bn", "relu", parity=par, remat=remat,
+            remat_policy_name=remat_policy),
         output_factory=F.g_output_factory("bn", "relu"),
         dtype=dtype,
     )
@@ -72,8 +73,9 @@ def build_step(config, batch_size, workload="cnn", parity="auto",
         from tartangan_tpu.train.iqn import make_iqn_train_step
         d = IQNDiscriminator(
             cfg,
-            block_factory=F.d_block_factory("bn", "relu", parity=par,
-                                            remat=remat),
+            block_factory=F.d_block_factory(
+                "bn", "relu", parity=par, remat=remat,
+                remat_policy_name=remat_policy),
             output_factory=F.iqn_d_output_factory("bn", "relu"),
             dtype=dtype,
         )
@@ -83,8 +85,9 @@ def build_step(config, batch_size, workload="cnn", parity="auto",
     else:
         d = Discriminator(
             cfg,
-            block_factory=F.d_block_factory("bn", "relu", parity=par,
-                                            remat=remat),
+            block_factory=F.d_block_factory(
+                "bn", "relu", parity=par, remat=remat,
+                remat_policy_name=remat_policy),
             output_factory=F.d_output_factory("bn", "relu"),
             dtype=dtype,
         )

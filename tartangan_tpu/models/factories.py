@@ -50,6 +50,28 @@ def g_input_factory(g_base: str, activation: str):
 # passes than they save.
 PARITY_MAX_DIMS = 64
 
+# --remat-policy: what jax.checkpoint may SAVE inside a rematted block.
+# 'full' recomputes everything (classic remat, max memory saving);
+# 'convs' saves the tagged main-path conv outputs (blocks.py::_ckpt) and
+# recomputes only the cheap norm/act/resample chains — less backward
+# FLOPs for most of the memory win; 'dots' saves dot_general results
+# without batch dims (jax's stock policy — convs are not dots, so on
+# these towers it behaves close to 'full'; included as the stock
+# comparison point).
+REMAT_POLICIES = ("full", "convs", "dots")
+
+
+def remat_policy(name: str):
+    """Resolve a --remat-policy name to a jax.checkpoint policy."""
+    import jax
+    if name in (None, "full"):
+        return None
+    if name == "convs":
+        return jax.checkpoint_policies.save_only_these_names("block_conv")
+    if name == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat policy '{name}'")
+
 
 def resolve_parity(choice: str) -> bool:
     """--parity-blocks {auto,on,off}: 'auto' enables the parity conv
@@ -65,7 +87,7 @@ def resolve_parity(choice: str) -> bool:
 
 def g_block_factory(norm: str, activation: str, ndim: int = 2,
                     remat: bool = False, fused: bool = False,
-                    parity: bool = False):
+                    parity: bool = False, remat_policy_name: str = "full"):
     """``remat=True`` wraps each block in ``nn.remat`` — activations are
     recomputed in the backward pass, trading FLOPs for HBM (useful for the
     512/1024-px configs at larger batch). ``parity=True``
@@ -77,7 +99,9 @@ def g_block_factory(norm: str, activation: str, ndim: int = 2,
     (measured slower than parity, R1-incompatible; no CLI flag since
     round 4)."""
     import flax.linen as nn
-    cls = (nn.remat(ResidualGeneratorBlock, static_argnums=(2,))
+    policy = remat_policy(remat_policy_name) if remat else None
+    cls = (nn.remat(ResidualGeneratorBlock, static_argnums=(2,),
+                    policy=policy)
            if remat else ResidualGeneratorBlock)
     fused_ok = fused and norm == "bn" and activation == "relu" and ndim == 2
     parity_ok = parity and norm in ("bn", "id") and ndim == 2
@@ -92,7 +116,7 @@ def g_block_factory(norm: str, activation: str, ndim: int = 2,
             # high-resolution ones whose activations dominate HBM at the
             # 512/1024px configs (ADVICE r3)
             pcls = (nn.remat(ParityResidualGeneratorBlock,
-                             static_argnums=(2,))
+                             static_argnums=(2,), policy=policy)
                     if remat else ParityResidualGeneratorBlock)
             return pcls(
                 in_dims, out_dims, upsample=upsample,
@@ -114,9 +138,12 @@ def g_block_factory(norm: str, activation: str, ndim: int = 2,
 
 
 def d_block_factory(norm: str, activation: str, ndim: int = 2,
-                    remat: bool = False, parity: bool = False):
+                    remat: bool = False, parity: bool = False,
+                    remat_policy_name: str = "full"):
     import flax.linen as nn
-    cls = (nn.remat(ResidualDiscriminatorBlock, static_argnums=(2,))
+    policy = remat_policy(remat_policy_name) if remat else None
+    cls = (nn.remat(ResidualDiscriminatorBlock, static_argnums=(2,),
+                    policy=policy)
            if remat else ResidualDiscriminatorBlock)
     parity_ok = parity and norm in ("bn", "id") and ndim == 2
 
@@ -124,7 +151,7 @@ def d_block_factory(norm: str, activation: str, ndim: int = 2,
         if parity_ok and out_dims <= PARITY_MAX_DIMS:
             from .blocks import ParityResidualDiscriminatorBlock
             pcls = (nn.remat(ParityResidualDiscriminatorBlock,
-                             static_argnums=(2,))
+                             static_argnums=(2,), policy=policy)
                     if remat else ParityResidualDiscriminatorBlock)
             return pcls(
                 in_dims, out_dims, first_block=first_block,

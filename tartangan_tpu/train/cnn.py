@@ -222,6 +222,7 @@ class CNNTrainer(Trainer):
             input_factory=F.g_input_factory(args.g_base, args.activation),
             block_factory=F.g_block_factory(
                 args.norm, args.activation, remat=args.remat,
+                remat_policy_name=getattr(args, "remat_policy", "full"),
                 parity=F.resolve_parity(
                     getattr(args, "parity_blocks", "auto"))),
             output_factory=F.g_output_factory(args.norm, args.activation),
@@ -234,6 +235,7 @@ class CNNTrainer(Trainer):
             self.gan_config,
             block_factory=F.d_block_factory(
                 args.norm, args.activation, remat=args.remat,
+                remat_policy_name=getattr(args, "remat_policy", "full"),
                 parity=F.resolve_parity(
                     getattr(args, "parity_blocks", "auto"))),
             output_factory=F.d_output_factory(args.norm, args.activation),

@@ -116,6 +116,7 @@ class IQNTrainer(CNNTrainer):
             self.gan_config,
             block_factory=F.d_block_factory(
                 args.norm, args.activation, remat=args.remat,
+                remat_policy_name=getattr(args, "remat_policy", "full"),
                 parity=F.resolve_parity(
                     getattr(args, "parity_blocks", "auto"))),
             output_factory=F.iqn_d_output_factory(args.norm, args.activation),

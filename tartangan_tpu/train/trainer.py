@@ -554,6 +554,14 @@ class Trainer:
         p.add_argument("--remat", action="store_true",
                        help="Rematerialize residual blocks in the backward "
                             "pass (saves HBM at high resolutions)")
+        p.add_argument("--remat-policy", default="full",
+                       choices=("full", "convs", "dots"),
+                       help="With --remat: what jax.checkpoint may save. "
+                            "'full' recomputes everything; 'convs' saves "
+                            "the main-path conv outputs and recomputes "
+                            "only the norm/act chains (less backward "
+                            "FLOPs, most of the memory win); 'dots' is "
+                            "jax's stock dot-saving policy")
         p.add_argument("--parity-blocks", default="auto",
                        choices=("auto", "on", "off"),
                        help="Compute thin tower blocks in the sub-pixel "
