@@ -102,19 +102,19 @@ def main():
         d_blocks = [(16, 32, 256), (32, 64, 128), (64, 128, 64),
                     (128, 256, 32), (256, 256, 16), (256, 256, 8)]
         floor_res = 256
+    # parity variants are measured at EVERY width, including the wide
+    # (out_dims > PARITY_MAX_DIMS) blocks the production gate currently
+    # excludes — the same capture that locates the step's time also
+    # answers whether the gate should widen (VERDICT r4 next #1)
     for cin, cout, res in g_blocks:
         for tag, cls in (("flax", ResidualGeneratorBlock),
                          ("parity", ParityResidualGeneratorBlock)):
-            if tag == "parity" and cout > 64:
-                continue
             measure(cls, tag, "g", cin, cout, res)
 
     # D tower blocks (reverse): (in, out, in_res)
     for cin, cout, res in d_blocks:
         for tag, cls in (("flax", ResidualDiscriminatorBlock),
                          ("parity", ParityResidualDiscriminatorBlock)):
-            if tag == "parity" and cout > 64:
-                continue
             measure(cls, tag, "d", cin, cout, res)
 
     # elementwise floors at the hot tensor size

@@ -135,9 +135,95 @@ SHAPES_2X2 = [
 ]
 
 
-def main():
-    enter_honest_mode()
-    results = {}
+def conv_bwd_slope_ms(h, w, cin, cout, which, batch=128, reps=3, ksize=3):
+    """ms per conv VJP at (batch, h, w, cin)->cout, slope-timed.
+
+    ``which='dx'`` times the input-cotangent pullback alone (a
+    transposed/flipped conv, (B,H,W,Cout)->(B,H,W,Cin)); ``which='dw'``
+    times the weight-gradient contraction alone ((B,H,W,Cin) x
+    (B,H,W,Cout) -> (kk,kk,Cin,Cout) — contraction dim B*H*W, output tile
+    9*Cin x Cout). Both are isolated through ``jax.vjp``: the conv is
+    linear in each argument, so XLA dead-codes the forward pass and the
+    scan body executes ONLY the requested backward contraction (verified:
+    the lowered HLO of the dx body contains a single conv). Each VJP has
+    the forward's FLOP count (2*B*H*W*kk*kk*Cin*Cout), so rates compare
+    1:1 against the forward table. This is the measurement VERDICT r4
+    next #2 asked for — 'similar ceilings' was an assumption; conv VJPs
+    are transposed/dilated contractions with different MXU fill.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((batch, h, w, cin)), jnp.bfloat16)
+    wts = jnp.asarray(
+        rng.standard_normal((ksize, ksize, cin, cout)) * 0.02, jnp.bfloat16)
+    pad = "SAME" if ksize == 3 else ((1, 1), (1, 1))
+    hout, wout = (h, w) if ksize == 3 else (h + 1, w + 1)
+    g0 = jnp.asarray(
+        rng.standard_normal((batch, hout, wout, cout)), jnp.bfloat16)
+    # feedback projection keeps the scan serial: cotangent-shaped output
+    proj_dx = jnp.asarray(
+        rng.standard_normal((cin, cout)) * 0.02, jnp.bfloat16)
+
+    def conv_x(a):
+        return jax.lax.conv_general_dilated(
+            a, wts, (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    def conv_w(ww):
+        return jax.lax.conv_general_dilated(
+            x, ww, (1, 1), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+
+    if which == "dx":
+        _, pullback = jax.vjp(conv_x, x)
+
+        def body(g, _):
+            (dx,) = pullback(g)
+            if ksize == 2:  # dx lives at (h, w); pad back to cotangent res
+                dx = jnp.pad(dx, ((0, 0), (0, hout - h), (0, wout - w),
+                                  (0, 0)))
+            g2 = jnp.einsum("bhwc,cd->bhwd", dx, proj_dx)
+            return g2.astype(jnp.bfloat16), ()
+    else:
+        _, pullback = jax.vjp(conv_w, wts)
+
+        def body(g, _):
+            (dw,) = pullback(g)
+            s = jnp.sum(dw.astype(jnp.float32)) * jnp.float32(1e-20)
+            return (g + s.astype(g.dtype)), ()
+
+    def chain(g, k):
+        return jax.lax.scan(body, g, None, length=k)[0]
+
+    f = jax.jit(chain, static_argnums=(1,))
+
+    def timed(k):
+        out = f(g0, k)
+        jax.block_until_ready(out)
+        float(out.reshape(-1)[0])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = f(g0, k)
+            jax.block_until_ready(out)
+            float(out.reshape(-1)[0])
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    flops = 2 * batch * hout * wout * ksize * ksize * cin * cout
+    fb_flops = (2 * batch * hout * wout * cin * cout if which == "dx" else 0)
+    dk = max(16, int(np.ceil(2.0e13 / (flops + fb_flops))))
+    k_lo = 8
+    t_lo, t_hi = timed(k_lo), timed(k_lo + dk)
+    per_iter_ms = (t_hi - t_lo) * 1e3 / dk
+    return per_iter_ms, flops, fb_flops
+
+
+def run_forward(results):
     print("shape, ms/conv, executed TFLOP/s (incl feedback)", flush=True)
     for ksize, shapes in ((3, SHAPES), (2, SHAPES_2X2)):
         for tag, h, w, cin, cout in shapes:
@@ -148,6 +234,39 @@ def main():
                             "tflops_conv_only": round(tf_conv, 1)}
             print(f"  {tag}: {ms:.4f} ms, {tf:.1f} TFLOP/s "
                   f"({tf_conv:.1f} conv-only)", flush=True)
+
+
+def run_backward(results):
+    print("shape, dx ms / TFLOP/s, dw ms / TFLOP/s", flush=True)
+    for tag, h, w, cin, cout in SHAPES:
+        row = {}
+        for which in ("dx", "dw"):
+            ms, flops, fb = conv_bwd_slope_ms(h, w, cin, cout, which)
+            tf = (flops + fb) / (ms / 1e3) / 1e12
+            row[f"{which}_ms"] = round(ms, 4)
+            row[f"{which}_tflops"] = round(tf, 1)
+        results[tag + "_bwd"] = row
+        print(f"  {tag}: dx {row['dx_ms']:.4f} ms {row['dx_tflops']:.1f} "
+              f"TF/s, dw {row['dw_ms']:.4f} ms {row['dw_tflops']:.1f} TF/s",
+              flush=True)
+
+
+def main():
+    import argparse
+    p = argparse.ArgumentParser()
+    p.add_argument("--backward", action="store_true",
+                   help="measure the conv VJP table (dx + dw per shape)")
+    p.add_argument("--forward", action="store_true",
+                   help="measure the forward table")
+    args = p.parse_args()
+    if not (args.backward or args.forward):
+        args.forward = True  # historical default
+    enter_honest_mode()
+    results = {}
+    if args.forward:
+        run_forward(results)
+    if args.backward:
+        run_backward(results)
     print(json.dumps(results, indent=1))
 
 
