@@ -53,9 +53,9 @@ _VMEM_BUDGET = 6 * 2 ** 20
 def _batch_tile(b, h, w, ci, co4):
     per_image = (
         2 * h * w * ci              # x (bf16)
-        + 2 * (h + 2) * (w + 2) * ci      # padded copy
-        + 2 * (h + 1) * (w + 1) * 4 * ci  # im2col concat
-        + 4 * (h + 1) * (w + 1) * co4    # f32 accumulator
+        + 2 * (h + 1) * (w + 1) * 4 * ci  # im2col concat (4 padded views)
+        + 8 * (h + 1) * (w + 1) * co4    # f32 accumulator + rolled copy
+        + 4 * h * w * co4           # f32 realigned concat
         + 2 * h * w * co4           # out (bf16)
     )
     bt = max(1, _VMEM_BUDGET // max(per_image, 1))
@@ -64,30 +64,59 @@ def _batch_tile(b, h, w, ci, co4):
     return bt
 
 
-def _kernel(x_ref, w_ref, o_ref):
-    x = x_ref[...]
-    bt, h, w, ci = x.shape
-    co4 = o_ref.shape[-1]
-    co = co4 // 4
-    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)))
-    # 2x2 im2col: window slot (ay, ax) of output position u reads
-    # xp[u + a] (u in [0, H], source offset a - 1 relative to x)
-    xcat = jnp.concatenate(
-        [xp[:, ay:ay + h + 1, ax:ax + w + 1, :]
-         for ay in range(2) for ax in range(2)], axis=-1)
-    wflat = w_ref[...].reshape(4 * ci, co4)
-    acc = jax.lax.dot_general(
-        xcat.reshape(bt * (h + 1) * (w + 1), 4 * ci), wflat,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).reshape(bt, h + 1, w + 1, co4)
-    # realign: parity q lives at spatial offset (qy, qx) of the
-    # overproduced grid and channel block q*co:(q+1)*co
-    o_ref[...] = jnp.concatenate(
-        [acc[:, qy:qy + h, qx:qx + w, (2 * qy + qx) * co:
-             (2 * qy + qx + 1) * co]
-         for qy in range(2) for qx in range(2)], axis=-1,
-    ).astype(o_ref.dtype)
+def _make_kernel(interpret):
+    """Kernel body, layout-legal for Mosaic.
+
+    Two hardware constraints shape the code (both observed as compile
+    errors on the v5e target):
+      * ``tpu.concatenate`` refuses operands whose layout offsets differ
+        on a non-concat dimension — so a slice starting at w-offset 1
+        (sublane offset 1) can never be concatenated with an offset-0
+        one. The im2col therefore builds its four window slots with
+        ASYMMETRIC PADS of x (pads always produce offset-0 values)
+        instead of shifted slices of one padded copy.
+      * ``tpu.rotate`` only handles 32-bit data — so all realignment
+        rolls happen on the f32 accumulator, and the single cast to the
+        output dtype is the last thing before the store.
+    """
+    def _rollk(t, k, axis):
+        """t shifted k steps: result[..., i, ...] = t[..., i+k, ...]."""
+        if k == 0:
+            return t
+        if interpret:
+            return jnp.roll(t, -k, axis=axis)
+        # pltpu.roll wants a non-negative shift; size-k == -k (mod size)
+        return pltpu.roll(t, t.shape[axis] - k, axis=axis)
+
+    def _kernel(x_ref, w_ref, o_ref):
+        x = x_ref[...]
+        bt, h, w, ci = x.shape
+        co4 = o_ref.shape[-1]
+        co = co4 // 4
+        # 2x2 im2col via pads: window slot (ay, ax) of output position u
+        # (u in [0, H]) reads x[u + a - 1] == pad(x, (1-a, a))[u]
+        xcat = jnp.concatenate(
+            [jnp.pad(x, ((0, 0), (1 - ay, ay), (1 - ax, ax), (0, 0)))
+             for ay in range(2) for ax in range(2)], axis=-1)
+        wflat = w_ref[...].reshape(4 * ci, co4)
+        acc = jax.lax.dot_general(
+            xcat.reshape(bt * (h + 1) * (w + 1), 4 * ci), wflat,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).reshape(bt, h + 1, w + 1, co4)
+        # realign: parity q = 2*qy + qx lives at spatial offset (qy, qx)
+        # of the overproduced grid and channel block q*co:(q+1)*co.
+        # f32 rolls bring every block to layout offset (0, 0) so the
+        # final concat is legal; h-axis slices are untiled (free).
+        accr = _rollk(acc, 1, 2)
+        parts = []
+        for qy in range(2):
+            for qx in range(2):
+                src = accr if qx else acc
+                src = _rollk(src, (2 * qy + qx) * co, 3)
+                parts.append(src[:, qy:qy + h, 0:w, 0:co])
+        o_ref[...] = jnp.concatenate(parts, axis=-1).astype(o_ref.dtype)
+    return _kernel
 
 
 def _fused_conv_impl(x, w2, co4, interpret=False):
@@ -98,7 +127,7 @@ def _fused_conv_impl(x, w2, co4, interpret=False):
     bt = _batch_tile(b, h, w, ci, co4)
     grid = (b // bt,)
     return pl.pallas_call(
-        _kernel,
+        _make_kernel(interpret),
         grid=grid,
         in_specs=[
             pl.BlockSpec((bt, h, w, ci), lambda i: (i, 0, 0, 0),
