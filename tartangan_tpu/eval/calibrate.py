@@ -16,15 +16,17 @@ data-dependent / LSUV-style init, applied to the BN stats instead of
 the weights). Each round forwards a batch with flax
 ``capture_intermediates`` over the ``conv`` submodules, computes each
 conv output's per-channel mean/var, and writes them into the sibling
-``bn``'s running stats; after ~spectral-depth rounds every BN input is
-~N(0,1) per channel, so the random projections stay in their linear
-range all the way to pool2048 — random-feature FID with healthy
+``bn``'s running stats — strictly in topological (call) order, one
+frozen slice of layers per round, so every written stat is exact under
+the final variables (see ``calibrate_variables``). Every BN input then
+sits at ~N(0,1) per channel, the random projections stay in their
+linear range all the way to pool2048 — random-feature FID with healthy
 conditioning. The weight VALUES stay random; only the normalization
 statistics are data-dependent.
 
 CLI:
   python -m tartangan_tpu.eval.calibrate DATA.npz OUT.npz \
-      [--rounds 24] [--batch-size 8] [--validate]
+      [--batch-size 16] [--validate]
 
 ``--validate`` prints a three-way discriminativeness check (FID between
 two disjoint halves of the set, vs a blurred copy, vs uniform noise —
@@ -62,14 +64,54 @@ def _conv_bn_pairs(intermediates):
     return out
 
 
-def calibrate_variables(images_u8, rounds=24, batch_size=8, seed=0,
+def _bn_levels(order):
+    """Topological LEVEL per bn path (level-k stats are exact once all
+    levels < k are frozen), derived from InceptionV3's naming structure:
+    the stem convs are sequential, and within a Mixed block the branches
+    are parallel chains whose position is the trailing ``_<n><a|b>?``
+    tag (``branch1x1`` / ``branch_pool`` are chain position 1;
+    ``branch3x3dbl_3a`` and ``_3b`` are both position 3 — parallel
+    consumers of ``_2``). Successive blocks stack on the previous
+    block's deepest chain."""
+    import re
+    levels = {}
+    base = 0
+    cur_block = None
+    block_max = 0
+    for path in order:
+        top = path[0]
+        if top.startswith("Conv2d"):  # sequential stem
+            base += 1
+            levels[path] = base
+            cur_block, block_max = None, 0
+            continue
+        if top != cur_block:  # entering a new Mixed block
+            base += block_max
+            cur_block, block_max = top, 0
+        m = re.search(r"_(\d+)[ab]?$", path[1])
+        local = int(m.group(1)) if m else 1
+        block_max = max(block_max, local)
+        levels[path] = base + local
+    return levels
+
+
+def calibrate_variables(images_u8, rounds=None, batch_size=8, seed=0,
                         var_floor=1e-3):
     """Return calibrated Inception variables (model, variables).
 
-    ``images_u8``: (N, H, W, 3) uint8 reference set. Each round replaces
-    every BN's running stats with the current per-channel moments of its
-    input; upstream calibration changes downstream inputs, so ``rounds``
-    should exceed the deepest conv chain (~20 for InceptionV3).
+    ``images_u8``: (N, H, W, 3) uint8 reference set. Calibration is
+    LSUV-style and strictly topological: round r writes stats ONLY for
+    the BNs at dependency level r (``_bn_levels``) — every such layer
+    has all its upstream BNs already frozen, so its measured moments are
+    exact under the final variables and are never revisited. (The first
+    implementation rewrote ALL stats every round — a simultaneous
+    fixed-point update that oscillates through 94 layers of random
+    weights: stats stayed ~1e20 off their activations. A call-order
+    slice scheme fails the same way whenever a slice contains an
+    intra-slice chain. Level-by-level converges by construction.)
+
+    ``rounds`` caps how many levels run (None = all of them — one
+    forward per level, ~47 for InceptionV3).
     """
     import jax
     import jax.numpy as jnp
@@ -107,17 +149,31 @@ def calibrate_variables(images_u8, rounds=24, batch_size=8, seed=0,
     import flax
     # largest stats representable such that (y - m) / sqrt(v) stays finite
     f32_cap = np.float64(1e37)
-    for r in range(rounds):
+    # call-order layer list (shape-level capture, no execution)
+    _, shapes = jax.eval_shape(
+        lambda v, xx: model.apply(
+            v, xx, capture_intermediates=lambda mdl, name: (
+                name == "__call__" and mdl.name == "conv")),
+        variables, _prep_batch(images_u8[:1]))
+    order = [p for p, _ in _conv_bn_pairs(shapes["intermediates"])]
+    levels = _bn_levels(order)
+    level_list = sorted(set(levels.values()))
+    if rounds is not None:
+        level_list = level_list[:rounds]
+    for lv in level_list:
+        active = {p for p, plv in levels.items() if plv == lv}
         idx = rng.choice(len(images_u8), size=batch_size, replace=False)
         x = _prep_batch(images_u8[idx])
         moments = jax.device_get(fwd_moments(variables, x))
         bs = flax.traverse_util.flatten_dict(variables["batch_stats"])
         for bn_path, (mn, vn, s) in moments.items():
+            if bn_path not in active:
+                continue  # upstream slices are frozen, later ones waiting
             s64 = np.asarray(s, np.float64)
             m = np.asarray(mn, np.float64) * s64
             v = np.asarray(vn, np.float64) * s64 * s64
             if not (np.isfinite(m).all() and np.isfinite(v).all()):
-                continue  # past the calibrated frontier this round
+                continue
             m = np.clip(m, -f32_cap, f32_cap)
             v = np.clip(v, var_floor, f32_cap)
             bs[bn_path + ("mean",)] = m.astype(np.float32)
@@ -183,8 +239,10 @@ def main(argv=None):
                     "archive (BN running stats <- data moments).")
     p.add_argument("dataset", help="npz archive with an 'images' array")
     p.add_argument("destination", help="output weights npz")
-    p.add_argument("--rounds", type=int, default=24)
-    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--rounds", type=int, default=None,
+                   help="cap the number of call-order slices calibrated "
+                        "(default: all of them)")
+    p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--validate", action="store_true",
                    help="run the three-way discriminativeness check on "

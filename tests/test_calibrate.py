@@ -9,6 +9,37 @@ from tartangan_tpu.eval.calibrate import (
 )
 
 
+def test_calibrate_converges(rng):
+    """After full calibration every BN's stored stats match the actual
+    activation moments under the FINAL variables — the property the
+    frozen-prefix topological scheme guarantees by construction (a
+    simultaneous update oscillated ~1e20 off; this is the regression
+    pin for that bug)."""
+    import flax
+    import jax
+
+    from tartangan_tpu.eval.calibrate import _conv_bn_pairs, _prep_batch
+    images = rng.integers(0, 256, (16, 32, 32, 3), dtype=np.uint8)
+    model, variables = calibrate_variables(images, batch_size=4)
+    x = _prep_batch(images[:8])
+    _, state = model.apply(
+        variables, x,
+        capture_intermediates=lambda mdl, name: (
+            name == "__call__" and mdl.name == "conv"))
+    bs = flax.traverse_util.flatten_dict(variables["batch_stats"])
+    ratios = []
+    for bn_path, y in _conv_bn_pairs(state["intermediates"]):
+        y = np.asarray(y, np.float64)
+        v_actual = max(float(y.var(axis=(0, 1, 2)).mean()), 1e-3)
+        v_stored = max(float(np.mean(bs[bn_path + ("var",)])), 1e-3)
+        ratios.append(v_actual / v_stored)
+    ratios = np.array(ratios)
+    # different batches than calibration saw -> sampling noise, but every
+    # layer must be within a small constant factor (vs 1e20 divergence)
+    assert float(np.median(ratios)) < 4.0
+    assert float(ratios.max()) < 64.0
+
+
 def test_calibrate_writes_data_stats(tmp_path, rng):
     images = rng.integers(0, 256, (8, 32, 32, 3), dtype=np.uint8)
     model, variables = calibrate_variables(images, rounds=2, batch_size=4)
