@@ -183,6 +183,17 @@ def calibrate_variables(images_u8, rounds=None, batch_size=8, seed=0,
     return model, variables
 
 
+def save_stats_npz(variables, path):
+    """Write ONLY the calibrated batch_stats (~100 KB vs the 90 MB full
+    tree — the conv/fc params are the deterministic ``init_inception``
+    template and need not be stored). ``load_weights_npz`` /
+    ``--inception-weights`` accept the stats-only archive directly."""
+    import flax
+    flat = flax.traverse_util.flatten_dict(
+        {"batch_stats": variables["batch_stats"]}, sep=".")
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+
+
 def _pool_features(wrapper, images_u8, batch_size=64):
     """pool2048 features for a uint8 image set, batched on device."""
     feats = []
@@ -231,7 +242,6 @@ def validate_weights(weights_path, images_u8, n=2048, batch_size=64,
 def main(argv=None):
     import argparse
 
-    from ..models.inception import save_weights_npz
     from ..utils.fs import smart_open
 
     p = argparse.ArgumentParser(
@@ -255,9 +265,8 @@ def main(argv=None):
     _, variables = calibrate_variables(
         images, rounds=args.rounds, batch_size=args.batch_size,
         seed=args.seed)
-    save_weights_npz(variables, args.destination)
-    print(f"calibrated BN stats over {args.rounds} rounds -> "
-          f"{args.destination}")
+    save_stats_npz(variables, args.destination)
+    print(f"calibrated BN stats (levels) -> {args.destination}")
     if args.validate:
         checks = validate_weights(args.destination, images,
                                   n=args.validate_n)

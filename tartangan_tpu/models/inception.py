@@ -344,19 +344,31 @@ def save_weights_npz(variables, path):
 
 def load_weights_npz(variables, path):
     """Load an npz written by ``save_weights_npz`` into the shape of the
-    given template ``variables`` (shape-checked leaf by leaf)."""
+    given template ``variables`` (shape-checked leaf by leaf).
+
+    Also accepts a STATS-ONLY archive (every key under ``batch_stats.``,
+    as written by ``eval/calibrate.py``): BN running stats load from the
+    file and every other leaf keeps its template value — calibration
+    only moves the normalization statistics, so a ~100 KB archive stands
+    in for the full 90 MB tree."""
     import flax
 
     flat = flax.traverse_util.flatten_dict(variables, sep=".")
     with np.load(path) as data:
-        out = {}
-        missing = [k for k in flat if k not in data.files]
+        stats_only = all(k.startswith("batch_stats.") for k in data.files)
+        expected = [k for k in flat
+                    if not stats_only or k.startswith("batch_stats.")]
+        missing = [k for k in expected if k not in data.files]
         if missing:
             raise KeyError(
                 f"{path} is missing {len(missing)} inception variables "
                 f"(first: {missing[0]}) — was it written by "
                 "save_weights_npz / the dump-inception-weights CLI?")
+        out = {}
         for key, val in flat.items():
+            if key not in data.files:
+                out[key] = jnp.asarray(val)  # template value (stats-only)
+                continue
             arr = data[key]
             if arr.shape != val.shape:
                 raise ValueError(

@@ -54,19 +54,27 @@ def test_calibrate_writes_data_stats(tmp_path, rng):
     assert any(float(np.abs(m).max()) > 1e-3 for m in means)
     assert any(float(np.abs(v - 1.0).max()) > 1e-3 for v in vars_)
 
-    # the calibrated tree loads through the standard weights npz path
+    # the calibrated tree round-trips through the STATS-ONLY npz format:
+    # load_weights_npz merges the archive's batch_stats over the
+    # deterministic template params (the ~100 KB fixture form)
+    from tartangan_tpu.eval.calibrate import save_stats_npz
     from tartangan_tpu.models.inception import (
         init_inception,
         load_weights_npz,
-        save_weights_npz,
     )
-    path = str(tmp_path / "cal.npz")
-    save_weights_npz(variables, path)
+    path = str(tmp_path / "cal_stats.npz")
+    save_stats_npz(variables, path)
+    import os
+    assert os.path.getsize(path) < 2 ** 20  # stats-only stays tiny
     _, template = init_inception()
     loaded = load_weights_npz(template, path)
     flat_a = flax.traverse_util.flatten_dict(variables)
     flat_b = flax.traverse_util.flatten_dict(loaded)
     assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(flat_a[k], np.float32),
+            np.asarray(flat_b[k], np.float32), err_msg="/".join(k))
 
 
 def test_conv_bn_pair_paths_match_batch_stats():
