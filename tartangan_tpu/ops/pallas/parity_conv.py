@@ -43,14 +43,20 @@ from jax.experimental.pallas import tpu as pltpu
 # Tests flip this to run the kernel in interpret mode on CPU.
 _INTERPRET = False
 
-# VMEM budget for one program's working set (x + pad copy + im2col + f32
-# accumulator + out, roughly 8x the x tile at equal channel counts);
-# Mosaic double-buffers the HBM<->VMEM blocks on top. ~6 MB of a 16 MB
-# core leaves headroom for both.
-_VMEM_BUDGET = 6 * 2 ** 20
+# Estimated working set per program (x + im2col views + f32 accumulator
+# chain + realigned concat + out). Hardware showed Mosaic's ACTUAL scoped
+# vmem is ~3.8x this estimate (25.22 MB observed where the formula says
+# 6.7 MB — relayout copies, double-buffered HBM<->VMEM blocks, live-range
+# overlap), so the budget below is the 16 MB core limit divided by 4 with
+# slack. Shapes whose single-image working set exceeds it return bt=0 and
+# the op falls back to the 3x3-packed XLA form — spatially-tiled halo
+# blocking could lift the cap but is not worth it per the measured A/B
+# (docs/PERF.md round 5).
+_VMEM_BUDGET = int(3.5 * 2 ** 20)
 
 
 def _batch_tile(b, h, w, ci, co4):
+    """Batch tile per program, or 0 when even one image cannot fit."""
     per_image = (
         2 * h * w * ci              # x (bf16)
         + 2 * (h + 1) * (w + 1) * 4 * ci  # im2col concat (4 padded views)
@@ -58,7 +64,9 @@ def _batch_tile(b, h, w, ci, co4):
         + 4 * h * w * co4           # f32 realigned concat
         + 2 * h * w * co4           # out (bf16)
     )
-    bt = max(1, _VMEM_BUDGET // max(per_image, 1))
+    if per_image > _VMEM_BUDGET:
+        return 0
+    bt = max(1, _VMEM_BUDGET // per_image)
     while b % bt:
         bt -= 1
     return bt
@@ -171,6 +179,12 @@ def fused_parity_conv(x, w_raw, b, cout, mode):
 
 
 def _fused_fwd(x, w_raw, b, cout, mode):
+    bsz, h, w, ci = x.shape
+    if _batch_tile(bsz, h, w, ci, 4 * cout) == 0 and not _INTERPRET:
+        # working set exceeds VMEM even per-image (large-spatial convs):
+        # run the production 3x3-packed form — identical math
+        y = _reference_form(x, w_raw, b, cout, mode)
+        return y, (x, w_raw, b)
     from ..parity import pack_full_conv2, pack_up_conv2
     pack2 = pack_up_conv2 if mode == "up" else pack_full_conv2
     w2 = pack2(w_raw).astype(x.dtype)

@@ -93,7 +93,10 @@ def test_parity_g_block_fused_matches_default(rng, monkeypatch):
 
 
 def test_batch_tile_respects_budget_and_divides():
-    bt = PC._batch_tile(128, 64, 64, 64, 64)
-    assert 128 % bt == 0 and bt >= 1
-    # huge per-image footprint -> single-image programs
-    assert PC._batch_tile(128, 256, 256, 256, 256) == 1
+    bt = PC._batch_tile(128, 32, 32, 64, 128)
+    assert bt >= 1 and 128 % bt == 0
+    # shapes whose single-image working set exceeds the calibrated VMEM
+    # budget return 0 -> the op falls back to the 3x3-packed XLA form
+    # (observed scoped-vmem OOM at 25.22 MB on the 64px 4*16->4*16 conv)
+    assert PC._batch_tile(128, 64, 64, 64, 64) == 0
+    assert PC._batch_tile(128, 256, 256, 256, 256) == 0
