@@ -166,17 +166,19 @@ def conv_bwd_slope_ms(h, w, cin, cout, which, batch=128, reps=3, ksize=3):
     proj_dx = jnp.asarray(
         rng.standard_normal((cin, cout)) * 0.02, jnp.bfloat16)
 
+    # plain bf16 convs (no preferred_element_type): the MXU accumulates
+    # f32 internally either way, and the f32-preferred + astype(bf16)
+    # pattern makes jax's conv transpose rule see an f32 cotangent against
+    # bf16 weights (dtype mismatch) — the VJP itself is what's timed here
     def conv_x(a):
         return jax.lax.conv_general_dilated(
             a, wts, (1, 1), pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     def conv_w(ww):
         return jax.lax.conv_general_dilated(
             x, ww, (1, 1), pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32).astype(jnp.bfloat16)
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     if which == "dx":
         _, pullback = jax.vjp(conv_x, x)
