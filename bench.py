@@ -514,9 +514,11 @@ def main():
                  dict(workload="iqn", config="64", batch_size=128)),
                 ("sagan_256px_b64",
                  dict(workload="cnn", config="256", batch_size=64)),
-                ("sagan_512thin_b64_remat",
-                 dict(workload="cnn", config="512thin", batch_size=64,
-                      remat=True)),
+                # remat OFF: the round-5 remat-policy sweep (docs/PERF.md)
+                # proved 512thin bandwidth-bound and no-remat byte-minimal
+                # (280.6 vs 245.1 img/s like-for-like) — 512px b64 fits HBM
+                ("sagan_512thin_b64",
+                 dict(workload="cnn", config="512thin", batch_size=64)),
                 # lazy R1 (--r1-interval 16): a schedule change, not just
                 # faster execution — reported as its own row, never as
                 # the reference-semantics headline (docs/PERF.md)

@@ -205,6 +205,7 @@ WORKLOADS = {
     "128_b128_flax": dict(config="128", batch_size=128, parity="off"),
     "iqn_64_b128": dict(config="64", batch_size=128, workload="iqn"),
     "256_b64": dict(config="256", batch_size=64),
+    "512thin_b64": dict(config="512thin", batch_size=64),
     "512thin_b64_remat": dict(config="512thin", batch_size=64, remat=True),
 }
 
